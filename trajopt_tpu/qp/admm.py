@@ -1,0 +1,238 @@
+"""Batched proximal-ADMM convex QP solver (OSQP-style splitting).
+
+Solves problems of the form::
+
+    minimize    0.5 x'Px + q'x + sum_i phi_i(z_i)
+    subject to  z = A x
+
+where each row penalty is ``phi_i(z) = c_i * dist(z, [l_i, u_i])``:
+
+* ``c_i = +inf``  -> hard constraint row (indicator of the interval); the
+  prox is a plain projection, which recovers the classic OSQP row.
+* finite ``c_i``  -> exact L1 / hinge penalty row; the prox is a
+  soft-threshold clamped toward the interval.
+
+This fills the role of ``sco::Model::optimize()`` and its OSQP backend in
+the reference (``trajopt_sco/src/osqp_interface.cpp:440``), but replaces the
+slack-variable reformulation of hinge/abs penalties
+(``trajopt_sco/src/modeling.cpp:18-40`` and the slack blocks of
+``trajopt_optimizers/trajopt_sqp/src/trajopt_qp_problem.cpp:29-35``) with
+proximal operators.  That keeps the KKT system small and static-shaped and
+turns every penalty into an elementwise VPU op — the right trade for
+TPU/XLA.  Everything is pure-functional and jit/vmap friendly: batching over
+problems is a single ``jax.vmap`` of :func:`solve_qp`.
+
+The ADMM iteration (with relaxation ``alpha`` and per-row step ``rho_i``)::
+
+    xt     = (P + sigma I + A' R A)^-1 (sigma x - q + A'(R z - y))
+    zt     = A xt
+    x+     = alpha xt + (1 - alpha) x
+    v      = alpha zt + (1 - alpha) z + y / rho
+    z+     = prox_{phi/rho}(v)
+    y+     = y + R (alpha zt + (1 - alpha) z - z+)
+
+Termination mirrors OSQP: ``||Ax - z||_inf <= eps_abs + eps_rel * scale``
+and the analogous dual criterion, checked every ``check_every`` iterations,
+with optional adaptive rescaling of ``rho`` (and refactorization).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+
+class QPData(NamedTuple):
+    """One convex QP in prox form.  All arrays share a float dtype.
+
+    Attributes:
+      P: [n, n] PSD quadratic cost matrix (0.5 x'Px + q'x).
+      q: [n] linear cost.
+      A: [m, n] constraint matrix (z = Ax).
+      l: [m] lower interval bounds on z.
+      u: [m] upper interval bounds on z.
+      c: [m] per-row penalty weight; +inf marks a hard row.
+    """
+
+    P: jax.Array
+    q: jax.Array
+    A: jax.Array
+    l: jax.Array
+    u: jax.Array
+    c: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMConfig:
+    """Solver configuration (static under jit).
+
+    Defaults track OSQP's (sigma, alpha, rho, adaptivity) which is the
+    reference's default backend (``OSQPModelConfig``,
+    ``trajopt_sco/include/trajopt_sco/osqp_interface.hpp:14-33``).
+    """
+
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3  # boost for hard equality rows, as in OSQP
+    max_iter: int = 500
+    check_every: int = 25
+    eps_abs: float = 1e-6
+    eps_rel: float = 1e-6
+    adaptive_rho: bool = True
+    adaptive_rho_threshold: float = 5.0  # adapt when pri/dual imbalance exceeds
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
+
+
+class ADMMState(NamedTuple):
+    x: jax.Array
+    z: jax.Array
+    y: jax.Array
+    rho_scale: jax.Array  # scalar multiplier on the base rho vector
+    iters: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+    converged: jax.Array
+
+
+class ADMMResult(NamedTuple):
+    x: jax.Array
+    z: jax.Array
+    y: jax.Array
+    iters: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+    converged: jax.Array
+
+
+def _prox_dist(v: jax.Array, l: jax.Array, u: jax.Array, c_over_rho: jax.Array) -> jax.Array:
+    """Prox of c * dist(., [l, u]) with step 1/rho, elementwise.
+
+    For c = +inf this reduces to clip(v, l, u).
+    """
+    above = v > u
+    below = v < l
+    z_above = jnp.maximum(u, v - c_over_rho)
+    z_below = jnp.minimum(l, v + c_over_rho)
+    return jnp.where(above, z_above, jnp.where(below, z_below, v))
+
+
+def _row_rho(qp: QPData, cfg: ADMMConfig, rho_scale: jax.Array) -> jax.Array:
+    """Per-row rho: base rho, boosted on hard equality rows (OSQP heuristic)."""
+    hard = jnp.isinf(qp.c)
+    eq = (qp.u - qp.l) < 1e-10
+    base = jnp.where(hard & eq, cfg.rho * cfg.rho_eq_scale, cfg.rho)
+    return jnp.clip(base * rho_scale, cfg.rho_min, cfg.rho_max)
+
+
+def _factor(qp: QPData, cfg: ADMMConfig, rho_vec: jax.Array) -> jax.Array:
+    """Cholesky factor of the x-update system M = P + sigma I + A' R A."""
+    n = qp.P.shape[-1]
+    M = qp.P + cfg.sigma * jnp.eye(n, dtype=qp.P.dtype) + qp.A.T @ (rho_vec[:, None] * qp.A)
+    return jnp.linalg.cholesky(M)
+
+
+def _cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
+    w = solve_triangular(L, b, lower=True)
+    return solve_triangular(L.T, w, lower=False)
+
+
+def _inf_norm(v: jax.Array) -> jax.Array:
+    return jnp.max(jnp.abs(v))
+
+
+def solve_qp(
+    qp: QPData,
+    x0: jax.Array,
+    z0: jax.Array | None = None,
+    y0: jax.Array | None = None,
+    cfg: ADMMConfig = ADMMConfig(),
+) -> ADMMResult:
+    """Solve one QP; warm-startable via (x0, z0, y0).  vmap over a batch."""
+    dtype = qp.P.dtype
+    x0 = x0.astype(dtype)
+    z = qp.A @ x0 if z0 is None else z0.astype(dtype)
+    y = jnp.zeros(qp.A.shape[0], dtype) if y0 is None else y0.astype(dtype)
+
+    q_norm = _inf_norm(qp.q)
+
+    def admm_iter(carry, rho_vec, L):
+        x, z, y, Ax = carry
+        rhs = cfg.sigma * x - qp.q + qp.A.T @ (rho_vec * z - y)
+        xt = _cho_solve(L, rhs)
+        zt = qp.A @ xt
+        x_new = cfg.alpha * xt + (1.0 - cfg.alpha) * x
+        Ax_new = cfg.alpha * zt + (1.0 - cfg.alpha) * Ax
+        # Relaxation mixes zt with the previous *projected* z (OSQP alg. 1),
+        # not with A @ x_old.
+        zr = cfg.alpha * zt + (1.0 - cfg.alpha) * z
+        v = zr + y / rho_vec
+        z_new = _prox_dist(v, qp.l, qp.u, qp.c / rho_vec)
+        y_new = y + rho_vec * (zr - z_new)
+        return (x_new, z_new, y_new, Ax_new)
+
+    def chunk(state: ADMMState) -> ADMMState:
+        rho_vec = _row_rho(qp, cfg, state.rho_scale)
+        L = _factor(qp, cfg, rho_vec)
+        carry = (state.x, state.z, state.y, qp.A @ state.x)
+        carry = jax.lax.fori_loop(
+            0, cfg.check_every, lambda _, c: admm_iter(c, rho_vec, L), carry
+        )
+        x, z, y, Ax = carry
+
+        Px = qp.P @ x
+        Aty = qp.A.T @ y
+        pri = _inf_norm(Ax - z)
+        dua = _inf_norm(Px + qp.q + Aty)
+        eps_pri = cfg.eps_abs + cfg.eps_rel * jnp.maximum(_inf_norm(Ax), _inf_norm(z))
+        eps_dua = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
+            jnp.maximum(_inf_norm(Px), _inf_norm(Aty)), q_norm
+        )
+        converged = (pri <= eps_pri) & (dua <= eps_dua)
+
+        rho_scale = state.rho_scale
+        if cfg.adaptive_rho:
+            tiny = jnp.asarray(1e-30, dtype)
+            ratio = jnp.sqrt((pri / jnp.maximum(eps_pri, tiny)) /
+                             jnp.maximum(dua / jnp.maximum(eps_dua, tiny), tiny))
+            ratio = jnp.clip(jnp.nan_to_num(ratio, nan=1.0), 1e-2, 1e2)
+            adapt = (ratio > cfg.adaptive_rho_threshold) | (
+                ratio < 1.0 / cfg.adaptive_rho_threshold
+            )
+            rho_scale = jnp.where(adapt & ~converged, rho_scale * ratio, rho_scale)
+
+        return ADMMState(
+            x=x, z=z, y=y, rho_scale=rho_scale,
+            iters=state.iters + cfg.check_every,
+            pri_res=pri, dua_res=dua, converged=converged,
+        )
+
+    init = ADMMState(
+        x=x0, z=z, y=y,
+        rho_scale=jnp.asarray(1.0, dtype),
+        iters=jnp.asarray(0, jnp.int32),
+        pri_res=jnp.asarray(jnp.inf, dtype),
+        dua_res=jnp.asarray(jnp.inf, dtype),
+        converged=jnp.asarray(False),
+    )
+
+    state = jax.lax.while_loop(
+        lambda s: (~s.converged) & (s.iters < cfg.max_iter), chunk, init
+    )
+    return ADMMResult(
+        x=state.x, z=state.z, y=state.y, iters=state.iters,
+        pri_res=state.pri_res, dua_res=state.dua_res, converged=state.converged,
+    )
+
+
+def qp_objective(qp: QPData, x: jax.Array) -> jax.Array:
+    """Full prox-form objective 0.5 x'Px + q'x + sum_i c_i dist(A_i x, [l, u])."""
+    z = qp.A @ x
+    viol = jnp.maximum(z - qp.u, 0.0) + jnp.maximum(qp.l - z, 0.0)
+    soft = jnp.where(jnp.isinf(qp.c), jnp.zeros_like(viol), qp.c * viol)
+    return 0.5 * x @ (qp.P @ x) + qp.q @ x + jnp.sum(soft)

@@ -1,0 +1,332 @@
+"""Nonconvex problem model: term sets, convexification, exact evaluation.
+
+This is the TPU-native analog of the reference's nonconvex modeling layer:
+``sco::Cost`` / ``sco::Constraint`` with their ``value(x)`` / ``convex(x)``
+interface (``trajopt_sco/include/trajopt_sco/modeling.hpp:27-267``) and the
+function->term adapters ``CostFromFunc`` / ``CostFromErrFunc`` /
+``ConstraintFromErrFunc`` (``trajopt_sco/src/modeling_utils.cpp``).
+
+Differences by design (idiomatic JAX, not a port):
+
+* A term is a pure function ``fn(x, params) -> residuals`` with a static row
+  count.  Jacobians come from ``jax.jacrev``/``jax.jacfwd`` (exact, not the
+  reference's forward finite differences with eps=1e-5), or a user-supplied
+  analytic ``jac_fn``.
+* Convexification produces flat arrays — a PSD quadratic (Gauss-Newton of
+  the squared terms, exactly what ``AffExprs::square`` builds in
+  ``trajopt_optimizers/trajopt_sqp/src/expressions.cpp``) plus linearized
+  penalty/constraint rows — instead of pointer expression graphs.
+* Hinge/abs penalties stay *rows with a penalty weight* (consumed by the
+  prox-ADMM QP); no slack variables, so shapes are static under jit.
+
+Generic scalar costs (non least-squares) use a PSD-projected second-order
+Taylor model, matching ``CostFromFunc::convex`` with ``full_hessian``
+(eigenvalue clamping, ``modeling_utils.cpp:77-90``) or the diagonal-Hessian
+variant (``modeling_utils.cpp:57-72``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = Any  # pytree of per-problem data (batched under vmap)
+
+
+class Kind(enum.Enum):
+    """Term classification.
+
+    COST_SQ / COST_ABS / COST_HINGE correspond to the reference's
+    ``PenaltyType {SQUARED, ABS, HINGE}``
+    (``trajopt_sco/include/trajopt_sco/modeling_utils.hpp:15-20``);
+    CNT_EQ / CNT_INEQ to ``ConstraintType {EQ, INEQ}``;
+    COST_GENERIC_* to ``CostFromFunc`` with full/diagonal Hessian.
+    """
+
+    COST_SQ = "cost_sq"
+    COST_ABS = "cost_abs"
+    COST_HINGE = "cost_hinge"
+    COST_GENERIC_FULL = "cost_generic_full"
+    COST_GENERIC_DIAG = "cost_generic_diag"
+    CNT_EQ = "cnt_eq"
+    CNT_INEQ = "cnt_ineq"
+
+
+COST_KINDS = (Kind.COST_SQ, Kind.COST_ABS, Kind.COST_HINGE,
+              Kind.COST_GENERIC_FULL, Kind.COST_GENERIC_DIAG)
+CNT_KINDS = (Kind.CNT_EQ, Kind.CNT_INEQ)
+PENALTY_COST_KINDS = (Kind.COST_ABS, Kind.COST_HINGE)
+
+
+@dataclasses.dataclass(frozen=True)
+class TermSet:
+    """One named group of residual rows sharing a kind.
+
+    Attributes:
+      name: diagnostic name (mirrors Cost::name / Constraint::name).
+      kind: how residuals are penalized / constrained.
+      fn: pure function ``(x, params) -> residuals [n_rows]`` (scalar for
+        generic costs).  Constraint residual conventions match the
+        reference: CNT_EQ wants ``r == 0``; CNT_INEQ wants ``r <= 0``;
+        COST_HINGE penalizes ``max(0, r)``.
+      n_rows: static residual count (1 for generic costs).
+      weight_fn: per-row cost weights (params -> [n_rows] or scalar);
+        multiplies *squared/abs/hinge values* like the reference's coeffs
+        (``CostFromErrFunc::value``, modeling_utils.cpp:146-168).
+        Constraint violations are unweighted, as in the reference.
+      jac_fn: optional analytic Jacobian ``(x, params) -> [n_rows, n]``.
+      use_fwd: pick jacfwd over jacrev (better when n_rows >> n).
+    """
+
+    name: str
+    kind: Kind
+    fn: Callable[[jax.Array, Params], jax.Array]
+    n_rows: int
+    weight_fn: Callable[[Params], jax.Array] = lambda p: jnp.asarray(1.0)
+    jac_fn: Callable[[jax.Array, Params], jax.Array] | None = None
+    use_fwd: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Nlp:
+    """A nonconvex problem over a flat decision vector of size ``n``.
+
+    Analog of ``sco::OptProb`` (``modeling.hpp:190-267``): variables with box
+    bounds, plus cost and constraint sets.  Bounds are passed at solve time
+    (they are per-problem data, batchable under vmap).
+    """
+
+    n: int
+    term_sets: tuple[TermSet, ...]
+
+    @property
+    def cost_sets(self) -> tuple[TermSet, ...]:
+        return tuple(t for t in self.term_sets if t.kind in COST_KINDS)
+
+    @property
+    def cnt_sets(self) -> tuple[TermSet, ...]:
+        return tuple(t for t in self.term_sets if t.kind in CNT_KINDS)
+
+    @property
+    def num_cost_sets(self) -> int:
+        return len(self.cost_sets)
+
+    @property
+    def num_cnt_sets(self) -> int:
+        return len(self.cnt_sets)
+
+
+class ConvexModel(NamedTuple):
+    """Convexified problem at a linearization point.
+
+    Cost rows (squared + penalty) are stored as affine rows
+    ``a(x) = A_cost x + b_cost``; the quadratic (P, q, c0) is derived from
+    the squared + generic rows.  Constraint rows are affine
+    ``g(x) ~ A_cnt x + b_cnt`` with interval bounds [l_cnt, u_cnt]
+    (CNT_EQ -> [0,0], CNT_INEQ -> [-inf, 0]).
+    """
+
+    P: jax.Array        # [n, n] PSD (2x Gauss-Newton + generic Hessians)
+    q: jax.Array        # [n]
+    c0: jax.Array       # scalar constant of the quadratic cost model
+    A_cost: jax.Array   # [m_cost, n] all non-generic cost rows
+    b_cost: jax.Array   # [m_cost]
+    w_cost: jax.Array   # [m_cost] per-row weights
+    A_cnt: jax.Array    # [m_cnt, n]
+    b_cnt: jax.Array    # [m_cnt]
+    l_cnt: jax.Array    # [m_cnt]
+    u_cnt: jax.Array    # [m_cnt]
+
+
+def _residual_and_jac(term: TermSet, x: jax.Array, params: Params):
+    r = term.fn(x, params)
+    r = jnp.atleast_1d(jnp.asarray(r))
+    if term.jac_fn is not None:
+        J = term.jac_fn(x, params)
+    elif term.use_fwd:
+        J = jax.jacfwd(lambda v: jnp.atleast_1d(term.fn(v, params)))(x)
+    else:
+        J = jax.jacrev(lambda v: jnp.atleast_1d(term.fn(v, params)))(x)
+    return r, J
+
+
+def _psd_project(H: jax.Array) -> jax.Array:
+    """Clamp negative eigenvalues to zero (CostFromFunc full-Hessian path,
+    modeling_utils.cpp:77-90)."""
+    w, V = jnp.linalg.eigh(H)
+    w = jnp.maximum(w, 0.0)
+    return (V * w) @ V.T
+
+
+def cost_row_structure(nlp: Nlp) -> list[tuple[TermSet, slice]]:
+    """Static row slices of the stacked cost-row matrix, per non-generic set."""
+    out, start = [], 0
+    for t in nlp.cost_sets:
+        if t.kind in (Kind.COST_GENERIC_FULL, Kind.COST_GENERIC_DIAG):
+            continue
+        out.append((t, slice(start, start + t.n_rows)))
+        start += t.n_rows
+    return out
+
+
+def cnt_row_structure(nlp: Nlp) -> list[tuple[TermSet, slice]]:
+    """Static row slices of the stacked constraint matrix, per cnt set."""
+    out, start = [], 0
+    for t in nlp.cnt_sets:
+        out.append((t, slice(start, start + t.n_rows)))
+        start += t.n_rows
+    return out
+
+
+def convexify(nlp: Nlp, x: jax.Array, params: Params) -> ConvexModel:
+    """Linearize/quadratize every term set at x.
+
+    Mirrors one 'convexifyCosts + convexifyConstraints' pass of the SQP loop
+    (``trajopt_sco/src/optimizers.cpp:781-783``) in a single batched trace.
+    """
+    dtype = x.dtype
+    n = nlp.n
+
+    A_cost_rows, b_cost_rows, w_cost_rows = [], [], []
+    P = jnp.zeros((n, n), dtype)
+    q = jnp.zeros((n,), dtype)
+    c0 = jnp.zeros((), dtype)
+
+    for t in nlp.cost_sets:
+        if t.kind in (Kind.COST_GENERIC_FULL, Kind.COST_GENERIC_DIAG):
+            f = lambda v: jnp.reshape(t.fn(v, params), ())
+            val = f(x)
+            g = jax.grad(f)(x)
+            w = jnp.asarray(t.weight_fn(params), dtype)
+            if t.kind is Kind.COST_GENERIC_FULL:
+                H = _psd_project(jax.hessian(f)(x))
+            else:
+                h = jnp.maximum(jnp.diagonal(jax.hessian(f)(x)), 0.0)
+                H = jnp.diag(h)
+            P = P + w * H
+            q = q + w * (g - H @ x)
+            c0 = c0 + w * (val - g @ x + 0.5 * x @ (H @ x))
+        else:
+            r, J = _residual_and_jac(t, x, params)
+            b = r - J @ x
+            w = jnp.broadcast_to(jnp.asarray(t.weight_fn(params), dtype), (t.n_rows,))
+            A_cost_rows.append(J)
+            b_cost_rows.append(b)
+            w_cost_rows.append(w)
+            if t.kind is Kind.COST_SQ:
+                # sum_r w_r (J_r x + b_r)^2 -> P += 2 J'WJ, q += 2 J'Wb
+                JW = J * w[:, None]
+                P = P + 2.0 * J.T @ JW
+                q = q + 2.0 * JW.T @ b
+                c0 = c0 + jnp.sum(w * b * b)
+
+    A_cnt_rows, b_cnt_rows, l_cnt_rows, u_cnt_rows = [], [], [], []
+    for t in nlp.cnt_sets:
+        r, J = _residual_and_jac(t, x, params)
+        b = r - J @ x
+        A_cnt_rows.append(J)
+        b_cnt_rows.append(b)
+        if t.kind is Kind.CNT_EQ:
+            l_cnt_rows.append(jnp.zeros(t.n_rows, dtype))
+            u_cnt_rows.append(jnp.zeros(t.n_rows, dtype))
+        else:
+            l_cnt_rows.append(jnp.full((t.n_rows,), -jnp.inf, dtype))
+            u_cnt_rows.append(jnp.zeros(t.n_rows, dtype))
+
+    def cat(rows, width=None):
+        if rows:
+            return jnp.concatenate([jnp.reshape(r, (-1,) if width is None else (-1, width)) for r in rows])
+        return jnp.zeros((0,) if width is None else (0, width), dtype)
+
+    return ConvexModel(
+        P=P, q=q, c0=c0,
+        A_cost=cat(A_cost_rows, n), b_cost=cat(b_cost_rows), w_cost=cat(w_cost_rows),
+        A_cnt=cat(A_cnt_rows, n), b_cnt=cat(b_cnt_rows),
+        l_cnt=cat(l_cnt_rows), u_cnt=cat(u_cnt_rows),
+    )
+
+
+def _interval_dist(v: jax.Array, l: jax.Array, u: jax.Array) -> jax.Array:
+    return jnp.maximum(v - u, 0.0) + jnp.maximum(l - v, 0.0)
+
+
+def eval_model_costs(nlp: Nlp, model: ConvexModel, x: jax.Array) -> jax.Array:
+    """Per-cost-set convex model values at x (evaluateModelCosts,
+    optimizers.cpp:241-259).  Generic sets report 0 per-set; their value
+    lives in the shared quadratic — totals via :func:`model_cost_total`."""
+    a = model.A_cost @ x + model.b_cost
+    vals = []
+    for t, sl in cost_row_structure(nlp):
+        w, rows = model.w_cost[sl], a[sl]
+        if t.kind is Kind.COST_SQ:
+            vals.append(jnp.sum(w * rows * rows))
+        elif t.kind is Kind.COST_ABS:
+            vals.append(jnp.sum(w * jnp.abs(rows)))
+        else:  # COST_HINGE
+            vals.append(jnp.sum(w * jnp.maximum(rows, 0.0)))
+    generic = [jnp.zeros((), x.dtype) for t in nlp.cost_sets
+               if t.kind in (Kind.COST_GENERIC_FULL, Kind.COST_GENERIC_DIAG)]
+    # Preserve cost-set order: rebuild in original order.
+    ordered, i_rows, i_gen = [], 0, 0
+    for t in nlp.cost_sets:
+        if t.kind in (Kind.COST_GENERIC_FULL, Kind.COST_GENERIC_DIAG):
+            ordered.append(generic[i_gen]); i_gen += 1
+        else:
+            ordered.append(vals[i_rows]); i_rows += 1
+    return jnp.stack(ordered) if ordered else jnp.zeros((0,), x.dtype)
+
+
+def model_cost_total(nlp: Nlp, model: ConvexModel, x: jax.Array) -> jax.Array:
+    """Total convex cost model at x: quadratic (squared+generic) part plus
+    abs/hinge penalty rows."""
+    total = 0.5 * x @ (model.P @ x) + model.q @ x + model.c0
+    a = model.A_cost @ x + model.b_cost
+    for t, sl in cost_row_structure(nlp):
+        if t.kind is Kind.COST_ABS:
+            total = total + jnp.sum(model.w_cost[sl] * jnp.abs(a[sl]))
+        elif t.kind is Kind.COST_HINGE:
+            total = total + jnp.sum(model.w_cost[sl] * jnp.maximum(a[sl], 0.0))
+    return total
+
+
+def eval_model_cnt_viols(nlp: Nlp, model: ConvexModel, x: jax.Array) -> jax.Array:
+    """Per-cnt-set violations of the *linearized* constraints at x
+    (evaluateModelCntViols)."""
+    g = model.A_cnt @ x + model.b_cnt
+    d = _interval_dist(g, model.l_cnt, model.u_cnt)
+    vals = [jnp.sum(d[sl]) for _, sl in cnt_row_structure(nlp)]
+    return jnp.stack(vals) if vals else jnp.zeros((0,), x.dtype)
+
+
+def eval_exact_costs(nlp: Nlp, x: jax.Array, params: Params) -> jax.Array:
+    """Per-cost-set exact values (evaluateCosts, optimizers.cpp:187-196)."""
+    vals = []
+    for t in nlp.cost_sets:
+        r = jnp.atleast_1d(jnp.asarray(t.fn(x, params)))
+        w = jnp.asarray(t.weight_fn(params), x.dtype)
+        if t.kind is Kind.COST_SQ:
+            vals.append(jnp.sum(w * r * r))
+        elif t.kind is Kind.COST_ABS:
+            vals.append(jnp.sum(w * jnp.abs(r)))
+        elif t.kind is Kind.COST_HINGE:
+            vals.append(jnp.sum(w * jnp.maximum(r, 0.0)))
+        else:  # generic scalar
+            vals.append(jnp.sum(w * r))
+    return jnp.stack(vals) if vals else jnp.zeros((0,), x.dtype)
+
+
+def eval_exact_cnt_viols(nlp: Nlp, x: jax.Array, params: Params) -> jax.Array:
+    """Per-cnt-set exact violations (sum of |g| for EQ, pos(g) for INEQ), as
+    in Constraint::violation (modeling.cpp)."""
+    vals = []
+    for t in nlp.cnt_sets:
+        r = jnp.atleast_1d(jnp.asarray(t.fn(x, params)))
+        if t.kind is Kind.CNT_EQ:
+            vals.append(jnp.sum(jnp.abs(r)))
+        else:
+            vals.append(jnp.sum(jnp.maximum(r, 0.0)))
+    return jnp.stack(vals) if vals else jnp.zeros((0,), x.dtype)

@@ -1,0 +1,60 @@
+"""SQP parameters and status codes.
+
+Field names, defaults, and semantics mirror
+``sco::BasicTrustRegionSQPParameters``
+(``trajopt_sco/include/trajopt_sco/optimizers.hpp:92-135``) and
+``trajopt_sqp::SQPParameters`` (``trajopt_optimizers/trajopt_sqp/include/
+trajopt_sqp/types.h:99-141``) so converged/parity semantics match the
+reference.  All parameters are static under jit (uniform across a batch).
+
+Deviation from the reference: no wall-clock ``max_time`` (data-dependent
+host time checks don't exist inside jit); bound the work with ``max_iter``
+and ``max_merit_coeff_increases`` instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from trajopt_tpu.qp.admm import ADMMConfig
+
+
+class SQPStatus:
+    """Integer status codes, matching sco::OptStatus (optimizers.hpp:25-33)."""
+
+    RUNNING = 0
+    CONVERGED = 1
+    SCO_ITERATION_LIMIT = 2
+    PENALTY_ITERATION_LIMIT = 3
+    FAILED = 4
+
+    NAMES = {
+        0: "RUNNING",
+        1: "CONVERGED",
+        2: "SCO_ITERATION_LIMIT",
+        3: "PENALTY_ITERATION_LIMIT",
+        4: "FAILED",
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPParams:
+    improve_ratio_threshold: float = 0.25
+    min_trust_box_size: float = 1e-4
+    min_approx_improve: float = 1e-4
+    min_approx_improve_frac: float = -float("inf")
+    max_iter: int = 50
+    trust_shrink_ratio: float = 0.1
+    trust_expand_ratio: float = 1.5
+    cnt_tolerance: float = 1e-4
+    max_merit_coeff_increases: int = 5
+    max_qp_solver_failures: int = 3
+    merit_coeff_increase_ratio: float = 10.0
+    initial_merit_error_coeff: float = 10.0
+    inflate_constraints_individually: bool = True
+    initial_trust_box_size: float = 1e-1
+    # Max trust-region-loop iterations per convexification.  The reference's
+    # inner while runs until accept or box < min; with shrink=0.1 from the
+    # largest sensible box that is bounded, so a static cap is safe.
+    max_trust_iter: int = 12
+    qp: ADMMConfig = ADMMConfig(eps_abs=1e-8, eps_rel=1e-8, max_iter=1500)
