@@ -87,6 +87,59 @@ class ADMMConfig:
     adaptive_rho_threshold: float = 5.0  # adapt when pri/dual imbalance exceeds
     rho_min: float = 1e-6
     rho_max: float = 1e6
+    ruiz_iters: int = 10  # OSQP default `scaling` passes
+
+
+class Scaling(NamedTuple):
+    """Ruiz equilibration scalings: x = D @ x_scaled, z rows scaled by E,
+    objective scaled by c_obj (OSQP's default preprocessing, `scaling: 10`)."""
+
+    D: jax.Array      # [n]
+    E: jax.Array      # [m]
+    c_obj: jax.Array  # scalar
+
+
+def ruiz_equilibrate(qp: QPData, iters: int = 10) -> tuple[QPData, Scaling]:
+    """Scale the QP so rows/cols of [P A'; A 0] have ~unit inf-norms.
+
+    Mirrors OSQP's modified Ruiz equilibration; without it ADMM converges
+    arbitrarily slowly on badly-row-scaled problems (e.g. constraint
+    Jacobian rows with norm ~1e2 vs unit box rows).
+    Penalty rows transform as c_scaled = c_obj * c / E (hard rows stay inf).
+    """
+    dtype = qp.P.dtype
+    n = qp.P.shape[0]
+    m = qp.A.shape[0]
+    eps = jnp.asarray(1e-12, dtype)
+
+    def safe_inv_sqrt(v):
+        return jnp.where(v < eps, 1.0, 1.0 / jnp.sqrt(v))
+
+    def body(_, carry):
+        P, q, A, D, E, c_obj = carry
+        col_norm = jnp.maximum(
+            jnp.max(jnp.abs(P), axis=0), jnp.max(jnp.abs(A), axis=0)
+        )
+        d = safe_inv_sqrt(col_norm)
+        P = d[:, None] * P * d[None, :]
+        q = d * q
+        A = A * d[None, :]
+        row_norm = jnp.max(jnp.abs(A), axis=1)
+        e = safe_inv_sqrt(row_norm)
+        A = e[:, None] * A
+        # Cost scaling (OSQP): normalize by max(mean col norm of P, ||q||inf)
+        g_den = jnp.maximum(jnp.mean(jnp.max(jnp.abs(P), axis=0)),
+                            jnp.max(jnp.abs(q)))
+        g = jnp.where(g_den < eps, 1.0, 1.0 / g_den)
+        return (g * P, g * q, A, D * d, E * e, c_obj * g)
+
+    init = (qp.P, qp.q, qp.A, jnp.ones(n, dtype), jnp.ones(m, dtype),
+            jnp.ones((), dtype))
+    P, q, A, D, E, c_obj = jax.lax.fori_loop(0, iters, body, init)
+    l = qp.l * E
+    u = qp.u * E
+    c = jnp.where(jnp.isinf(qp.c), jnp.inf, c_obj * qp.c / E)
+    return QPData(P, q, A, l, u, c), Scaling(D=D, E=E, c_obj=c_obj)
 
 
 class ADMMState(NamedTuple):
@@ -153,13 +206,21 @@ def solve_qp(
     y0: jax.Array | None = None,
     cfg: ADMMConfig = ADMMConfig(),
 ) -> ADMMResult:
-    """Solve one QP; warm-startable via (x0, z0, y0).  vmap over a batch."""
-    dtype = qp.P.dtype
-    x0 = x0.astype(dtype)
-    z = qp.A @ x0 if z0 is None else z0.astype(dtype)
-    y = jnp.zeros(qp.A.shape[0], dtype) if y0 is None else y0.astype(dtype)
+    """Solve one QP; warm-startable via (x0, z0, y0).  vmap over a batch.
 
-    q_norm = _inf_norm(qp.q)
+    Internally runs on a Ruiz-equilibrated problem (like OSQP); termination
+    residuals are computed in unscaled units.
+    """
+    dtype = qp.P.dtype
+    orig = qp
+    qp, sc = ruiz_equilibrate(qp, cfg.ruiz_iters)
+
+    x0 = x0.astype(dtype) / sc.D
+    z = qp.A @ x0 if z0 is None else z0.astype(dtype) * sc.E
+    y = (jnp.zeros(qp.A.shape[0], dtype) if y0 is None
+         else y0.astype(dtype) * (sc.c_obj / sc.E))
+
+    q_norm = _inf_norm(orig.q)
 
     def admm_iter(carry, rho_vec, L):
         x, z, y, Ax = carry
@@ -185,13 +246,19 @@ def solve_qp(
         )
         x, z, y, Ax = carry
 
+        # Unscaled residuals (OSQP computes termination in original units).
         Px = qp.P @ x
         Aty = qp.A.T @ y
-        pri = _inf_norm(Ax - z)
-        dua = _inf_norm(Px + qp.q + Aty)
-        eps_pri = cfg.eps_abs + cfg.eps_rel * jnp.maximum(_inf_norm(Ax), _inf_norm(z))
+        Ax_un = Ax / sc.E
+        z_un = z / sc.E
+        pri = _inf_norm(Ax_un - z_un)
+        stat_un = (Px + qp.q + Aty) / (sc.c_obj * sc.D)
+        dua = _inf_norm(stat_un)
+        eps_pri = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
+            _inf_norm(Ax_un), _inf_norm(z_un))
         eps_dua = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
-            jnp.maximum(_inf_norm(Px), _inf_norm(Aty)), q_norm
+            jnp.maximum(_inf_norm(Px / (sc.c_obj * sc.D)),
+                        _inf_norm(Aty / (sc.c_obj * sc.D))), q_norm
         )
         converged = (pri <= eps_pri) & (dua <= eps_dua)
 
@@ -225,7 +292,10 @@ def solve_qp(
         lambda s: (~s.converged) & (s.iters < cfg.max_iter), chunk, init
     )
     return ADMMResult(
-        x=state.x, z=state.z, y=state.y, iters=state.iters,
+        x=state.x * sc.D,
+        z=state.z / sc.E,
+        y=state.y * (sc.E / sc.c_obj),
+        iters=state.iters,
         pri_res=state.pri_res, dua_res=state.dua_res, converged=state.converged,
     )
 

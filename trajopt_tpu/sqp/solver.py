@@ -1,0 +1,358 @@
+"""Trust-region SQP with L1 exact-penalty outer loop, as pure JAX loops.
+
+Re-creates the algorithm of ``sco::BasicTrustRegionSQP::optimize()``
+(``trajopt_sco/src/optimizers.cpp:699-991``) — three nested loops:
+
+1. penalty loop: escalate per-constraint merit coefficients x10 until
+   constraints are satisfied to ``cnt_tolerance`` (max 5 rounds),
+2. SQP loop: convexify costs/constraints at the current iterate,
+3. trust-region loop: solve the convex QP inside a shrinking/expanding box,
+   accept steps by exact-vs-model merit-improvement ratio.
+
+TPU-native design choices (not a port):
+
+* The nested loops and gotos become one ``lax.while_loop`` driving a state
+  machine over a ``SQPState`` pytree; per-problem early exit under ``vmap``
+  is just lanes whose status has left RUNNING.
+* The QP is the prox-ADMM solver in :mod:`trajopt_tpu.qp.admm`; hinge/abs
+  constraint penalties are penalty *rows* (no slack variables), and the
+  trust box + variable bounds are hard identity rows whose bounds are the
+  only thing that changes across the trust-region loop (the reference's
+  ``setTrustBoxConstraints``, optimizers.cpp:151-170).
+* QP failure handling follows optimizers.cpp:817-842: a NaN/failed QP
+  shrinks the box and retries up to ``max_qp_solver_failures`` before
+  aborting with FAILED.
+* Warm starts: ADMM (z, y) carry across trust-region and SQP iterations,
+  mirroring the reference OSQP backend's warm-start option.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from trajopt_tpu.qp.admm import QPData, solve_qp
+from trajopt_tpu.sqp import nlp as nlp_mod
+from trajopt_tpu.sqp.nlp import ConvexModel, Nlp
+from trajopt_tpu.sqp.params import SQPParams, SQPStatus
+
+
+class SQPResult(NamedTuple):
+    x: jax.Array            # [n] final iterate
+    status: jax.Array       # int32, SQPStatus code
+    cost_vals: jax.Array    # [n_cost_sets] exact per-set costs at x
+    cnt_viols: jax.Array    # [n_cnt_sets] exact per-set violations at x
+    total_cost: jax.Array
+    merit_coeffs: jax.Array
+    box_size: jax.Array
+    n_iter: jax.Array
+    n_qp_solves: jax.Array
+    n_func_evals: jax.Array
+
+
+class _State(NamedTuple):
+    x: jax.Array
+    cost_vals: jax.Array
+    cnt_viols: jax.Array
+    merit_coeffs: jax.Array
+    box_size: jax.Array
+    merit_increases: jax.Array
+    iter_in_round: jax.Array   # resets each penalty round (optimizers.cpp:737)
+    total_iter: jax.Array
+    status: jax.Array
+    n_qp_solves: jax.Array
+    n_func_evals: jax.Array
+    z: jax.Array               # ADMM warm start
+    y: jax.Array
+
+
+class _TrustState(NamedTuple):
+    box_size: jax.Array
+    done: jax.Array
+    outcome: jax.Array    # 0=shrinking, 1=accepted, 2=converged-small-improve, 3=qp-failed
+    qp_fails: jax.Array
+    x: jax.Array
+    cost_vals: jax.Array
+    cnt_viols: jax.Array
+    n_qp_solves: jax.Array
+    n_func_evals: jax.Array
+    z: jax.Array
+    y: jax.Array
+
+
+_SHRINKING, _ACCEPTED, _CONVERGED_SMALL, _QP_FAILED = 0, 1, 2, 3
+
+
+def _cnt_row_coeffs(nlp: Nlp, merit_coeffs: jax.Array, dtype) -> jax.Array:
+    """Expand per-set merit coefficients to per-row penalty weights."""
+    parts = [jnp.full((t.n_rows,), 1.0, dtype) * merit_coeffs[k]
+             for k, (t, _) in enumerate(nlp_mod.cnt_row_structure(nlp))]
+    if not parts:
+        return jnp.zeros((0,), dtype)
+    return jnp.concatenate(parts)
+
+
+def _penalty_cost_rows(nlp: Nlp, model: ConvexModel, dtype):
+    """QP rows for abs/hinge *cost* sets: intervals on a(x)=A x + b and
+    penalty weights.  Squared rows live in (P, q) and are excluded."""
+    A_rows, l_rows, u_rows, c_rows = [], [], [], []
+    for t, sl in nlp_mod.cost_row_structure(nlp):
+        if t.kind is nlp_mod.Kind.COST_ABS:
+            A_rows.append(model.A_cost[sl])
+            l_rows.append(-model.b_cost[sl])
+            u_rows.append(-model.b_cost[sl])
+            c_rows.append(model.w_cost[sl])
+        elif t.kind is nlp_mod.Kind.COST_HINGE:
+            A_rows.append(model.A_cost[sl])
+            l_rows.append(jnp.full((t.n_rows,), -jnp.inf, dtype))
+            u_rows.append(-model.b_cost[sl])
+            c_rows.append(model.w_cost[sl])
+    n = model.P.shape[0]
+    if not A_rows:
+        z0, z1 = jnp.zeros((0, n), dtype), jnp.zeros((0,), dtype)
+        return z0, z1, z1, z1
+    return (jnp.concatenate(A_rows), jnp.concatenate(l_rows),
+            jnp.concatenate(u_rows), jnp.concatenate(c_rows))
+
+
+def num_qp_rows(nlp: Nlp) -> int:
+    """Total QP constraint rows: cnt rows + abs/hinge cost rows + n box rows."""
+    m_cnt = sum(t.n_rows for t in nlp.cnt_sets)
+    m_pen = sum(t.n_rows for t in nlp.cost_sets
+                if t.kind in nlp_mod.PENALTY_COST_KINDS)
+    return m_cnt + m_pen + nlp.n
+
+
+def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams()):
+    """Build ``solve(x0, lb, ub, params) -> SQPResult`` for a fixed problem
+    structure.  The returned function is jit/vmap friendly: batch problems
+    by vmapping over (x0, lb, ub, params).
+    """
+
+    n = nlp.n
+    n_cost = nlp.num_cost_sets
+    n_cnt = nlp.num_cnt_sets
+    m_total = num_qp_rows(nlp)
+
+    def build_qp(model: ConvexModel, merit_coeffs, lb_box, ub_box, dtype) -> QPData:
+        A_pen, l_pen, u_pen, c_pen = _penalty_cost_rows(nlp, model, dtype)
+        A = jnp.concatenate([model.A_cnt, A_pen, jnp.eye(n, dtype=dtype)])
+        # Constraint rows bound a(x) = A x + b in [l, u]  ->  z = A x in
+        # [l - b, u - b].
+        l = jnp.concatenate([model.l_cnt - model.b_cnt, l_pen, lb_box])
+        u = jnp.concatenate([model.u_cnt - model.b_cnt, u_pen, ub_box])
+        c = jnp.concatenate([
+            _cnt_row_coeffs(nlp, merit_coeffs, dtype),
+            c_pen,
+            jnp.full((n,), jnp.inf, dtype),
+        ])
+        return QPData(P=model.P, q=model.q, A=A, l=l, u=u, c=c)
+
+    def merit(cost_vals, cnt_viols, merit_coeffs):
+        return jnp.sum(cost_vals) + jnp.sum(merit_coeffs * cnt_viols)
+
+    def solve(x0: jax.Array, lb: jax.Array, ub: jax.Array, params: Any) -> SQPResult:
+        dtype = x0.dtype
+        # getClosestFeasiblePoint (modeling.cpp:260): box-only projection.
+        x0 = jnp.clip(x0, lb, ub)
+
+        init = _State(
+            x=x0,
+            cost_vals=nlp_mod.eval_exact_costs(nlp, x0, params),
+            cnt_viols=nlp_mod.eval_exact_cnt_viols(nlp, x0, params),
+            merit_coeffs=jnp.full((n_cnt,), sqp.initial_merit_error_coeff, dtype),
+            box_size=jnp.asarray(sqp.initial_trust_box_size, dtype),
+            merit_increases=jnp.asarray(0, jnp.int32),
+            iter_in_round=jnp.asarray(0, jnp.int32),
+            total_iter=jnp.asarray(0, jnp.int32),
+            status=jnp.asarray(SQPStatus.RUNNING, jnp.int32),
+            n_qp_solves=jnp.asarray(0, jnp.int32),
+            n_func_evals=jnp.asarray(1, jnp.int32),
+            z=jnp.zeros((m_total,), dtype),
+            y=jnp.zeros((m_total,), dtype),
+        )
+
+        def trust_loop(state: _State, model: ConvexModel) -> _TrustState:
+            old_merit = merit(state.cost_vals, state.cnt_viols, state.merit_coeffs)
+
+            def cond(ts: _TrustState):
+                return (~ts.done) & (ts.box_size >= sqp.min_trust_box_size)
+
+            def body(ts: _TrustState) -> _TrustState:
+                # Trust box = var bounds clamped around the current iterate
+                # (setTrustBoxConstraints, optimizers.cpp:151-170).
+                lb_box = jnp.maximum(lb, state.x - ts.box_size)
+                ub_box = jnp.minimum(ub, state.x + ts.box_size)
+                qp = build_qp(model, state.merit_coeffs, lb_box, ub_box, dtype)
+                res = solve_qp(qp, ts.x, z0=ts.z, y0=ts.y, cfg=sqp.qp)
+                new_x = res.x
+                qp_bad = ~jnp.all(jnp.isfinite(new_x))
+
+                model_cost = nlp_mod.model_cost_total(nlp, model, new_x)
+                model_viols = nlp_mod.eval_model_cnt_viols(nlp, model, new_x)
+                model_merit = model_cost + jnp.sum(state.merit_coeffs * model_viols)
+
+                new_cost_vals = nlp_mod.eval_exact_costs(nlp, new_x, params)
+                new_cnt_viols = nlp_mod.eval_exact_cnt_viols(nlp, new_x, params)
+                new_merit = merit(new_cost_vals, new_cnt_viols, state.merit_coeffs)
+
+                approx_improve = old_merit - model_merit
+                exact_improve = old_merit - new_merit
+                ratio = exact_improve / approx_improve
+
+                exact_bad = ~jnp.isfinite(new_merit)
+
+                small = approx_improve < sqp.min_approx_improve
+                small |= (approx_improve / old_merit) < sqp.min_approx_improve_frac
+                accept = (~small) & (exact_improve > 0) & \
+                    (ratio >= sqp.improve_ratio_threshold) & (~exact_bad)
+                shrink = (~small) & (~accept)
+
+                # --- QP failure path (optimizers.cpp:817-842) ---
+                fails = ts.qp_fails + qp_bad.astype(jnp.int32)
+                last_try = fails >= sqp.max_qp_solver_failures
+                box_on_fail = jnp.where(
+                    fails == sqp.max_qp_solver_failures - 1,
+                    jnp.asarray(sqp.min_trust_box_size, dtype),
+                    ts.box_size * sqp.trust_shrink_ratio,
+                )
+
+                new_box = jnp.where(
+                    accept, ts.box_size * sqp.trust_expand_ratio,
+                    jnp.where(shrink, ts.box_size * sqp.trust_shrink_ratio,
+                              ts.box_size),
+                )
+
+                def pick(on_ok, on_fail):
+                    return jnp.where(qp_bad, on_fail, on_ok)
+
+                outcome = pick(
+                    jnp.where(small, _CONVERGED_SMALL,
+                              jnp.where(accept, _ACCEPTED, _SHRINKING)),
+                    jnp.where(last_try, _QP_FAILED, _SHRINKING),
+                )
+                done = pick(small | accept, last_try)
+                box = pick(new_box, box_on_fail)
+
+                take = accept & ~qp_bad
+                return _TrustState(
+                    box_size=box.astype(dtype),
+                    done=done,
+                    outcome=outcome.astype(jnp.int32),
+                    qp_fails=fails,
+                    x=jnp.where(take, new_x, ts.x),
+                    cost_vals=jnp.where(take, new_cost_vals, ts.cost_vals),
+                    cnt_viols=jnp.where(take, new_cnt_viols, ts.cnt_viols),
+                    n_qp_solves=ts.n_qp_solves + 1,
+                    n_func_evals=ts.n_func_evals + 1,
+                    z=jnp.where(qp_bad, ts.z, res.z),
+                    y=jnp.where(qp_bad, ts.y, res.y),
+                )
+
+            ts0 = _TrustState(
+                box_size=state.box_size,
+                done=jnp.asarray(False),
+                outcome=jnp.asarray(_SHRINKING, jnp.int32),
+                qp_fails=jnp.asarray(0, jnp.int32),
+                x=state.x,
+                cost_vals=state.cost_vals,
+                cnt_viols=state.cnt_viols,
+                n_qp_solves=state.n_qp_solves,
+                n_func_evals=state.n_func_evals,
+                z=state.z,
+                y=state.y,
+            )
+            return jax.lax.while_loop(cond, body, ts0)
+
+        def sqp_step(state: _State) -> _State:
+            model = nlp_mod.convexify(nlp, state.x, params)
+            ts = trust_loop(state, model)
+
+            if n_cnt == 0:
+                max_viol = jnp.asarray(0.0, dtype)
+            else:
+                max_viol = jnp.max(ts.cnt_viols)
+            viols_satisfied = max_viol < sqp.cnt_tolerance
+
+            iter_next = state.iter_in_round + 1
+            hit_iter_limit = iter_next >= sqp.max_iter
+
+            # "converged" paths -> penalty adjustment (optimizers.cpp:938-968)
+            conv = (ts.outcome == _CONVERGED_SMALL) | \
+                (ts.box_size < sqp.min_trust_box_size)
+            qp_failed = ts.outcome == _QP_FAILED
+
+            # Penalty adjustment outcome
+            pen_done_ok = conv & viols_satisfied
+            last_round = state.merit_increases + 1 >= sqp.max_merit_coeff_increases
+            pen_escalate = conv & (~viols_satisfied)
+            pen_exhausted = pen_escalate & last_round
+
+            if sqp.inflate_constraints_individually and n_cnt > 0:
+                inflated = jnp.where(
+                    ts.cnt_viols > sqp.cnt_tolerance,
+                    state.merit_coeffs * sqp.merit_coeff_increase_ratio,
+                    state.merit_coeffs,
+                )
+            else:
+                inflated = state.merit_coeffs * sqp.merit_coeff_increase_ratio
+            new_merit_coeffs = jnp.where(pen_escalate, inflated, state.merit_coeffs)
+
+            # Box reset on penalty escalation (optimizers.cpp:967)
+            box_reset = jnp.maximum(
+                ts.box_size,
+                sqp.min_trust_box_size / sqp.trust_shrink_ratio * 1.5,
+            )
+            new_box = jnp.where(pen_escalate, box_reset, ts.box_size)
+
+            # Iteration limit exits the whole solve (optimizers.cpp:922-934)
+            iter_exit = (~conv) & (~qp_failed) & hit_iter_limit
+
+            status = state.status
+            status = jnp.where(qp_failed, SQPStatus.FAILED, status)
+            status = jnp.where(pen_done_ok, SQPStatus.CONVERGED, status)
+            status = jnp.where(pen_exhausted, SQPStatus.PENALTY_ITERATION_LIMIT,
+                               status)
+            status = jnp.where(
+                iter_exit,
+                jnp.where(viols_satisfied, SQPStatus.CONVERGED,
+                          SQPStatus.SCO_ITERATION_LIMIT),
+                status,
+            )
+
+            return _State(
+                x=ts.x,
+                cost_vals=ts.cost_vals,
+                cnt_viols=ts.cnt_viols,
+                merit_coeffs=new_merit_coeffs,
+                box_size=new_box.astype(dtype),
+                merit_increases=state.merit_increases +
+                pen_escalate.astype(jnp.int32),
+                iter_in_round=jnp.where(pen_escalate, 0, iter_next),
+                total_iter=state.total_iter + 1,
+                status=status.astype(jnp.int32),
+                n_qp_solves=ts.n_qp_solves,
+                n_func_evals=ts.n_func_evals,
+                z=ts.z,
+                y=ts.y,
+            )
+
+        final = jax.lax.while_loop(
+            lambda s: s.status == SQPStatus.RUNNING, sqp_step, init
+        )
+        return SQPResult(
+            x=final.x,
+            status=final.status,
+            cost_vals=final.cost_vals,
+            cnt_viols=final.cnt_viols,
+            total_cost=jnp.sum(final.cost_vals),
+            merit_coeffs=final.merit_coeffs,
+            box_size=final.box_size,
+            n_iter=final.total_iter,
+            n_qp_solves=final.n_qp_solves,
+            n_func_evals=final.n_func_evals,
+        )
+
+    return solve
