@@ -1,0 +1,204 @@
+"""Kinematic tree: batched forward kinematics + analytic geometric Jacobian.
+
+TPU-native replacement for ``tesseract::kinematics::JointGroup`` —
+``calcFwdKin`` / ``calcJacobian`` / ``getLimits`` as used by the reference's
+kinematic and collision terms (``trajopt/src/problem_description.cpp:556``,
+``collision_terms.cpp:217,285``).
+
+Design: joints are processed in a static topological order (a Python loop
+unrolled at trace time — the tree is tiny), producing world (R, p) for every
+link.  The geometric Jacobian is analytic: for an active revolute joint i
+that is an ancestor of the link, the column is [z_i x (p - p_i); z_i]; for
+prismatic, [z_i; 0].  Everything vmaps over leading batch/time axes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajopt_tpu.kinematics import urdf as urdf_mod
+from trajopt_tpu.kinematics.transforms import axis_angle_matrix, compose, rpy_matrix
+
+
+@dataclasses.dataclass(frozen=True)
+class KinematicTree:
+    """Static description; all jnp work happens in fk()/jacobian().
+
+    Attributes:
+      link_names: all link names, index = link id; root is index 0.
+      joints: topo-ordered UrdfJoint tuple.
+      parent_link: per joint, parent link id.
+      child_link: per joint, child link id.
+      q_index: per joint, index into q (or -1 for fixed).
+      active_joint_names / lower / upper: active-joint metadata.
+      ancestor: [n_links, n_active] bool — active joint j moves link l.
+    """
+
+    link_names: tuple[str, ...]
+    joints: tuple[urdf_mod.UrdfJoint, ...]
+    parent_link: tuple[int, ...]
+    child_link: tuple[int, ...]
+    q_index: tuple[int, ...]
+    active_joint_names: tuple[str, ...]
+    lower: np.ndarray
+    upper: np.ndarray
+    ancestor: np.ndarray
+
+    @property
+    def n_dof(self) -> int:
+        return len(self.active_joint_names)
+
+    @property
+    def n_links(self) -> int:
+        return len(self.link_names)
+
+    def link_id(self, name: str) -> int:
+        return self.link_names.index(name)
+
+    # ----------------------------------------------------------------- FK
+
+    def fk(self, q: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """World poses of all links for one configuration q [n_dof].
+
+        Returns (R [n_links,3,3], p [n_links,3]).  vmap for batches.
+        """
+        dtype = q.dtype
+        Rs = [None] * self.n_links
+        ps = [None] * self.n_links
+        Rs[0] = jnp.eye(3, dtype=dtype)
+        ps[0] = jnp.zeros(3, dtype=dtype)
+        for k, j in enumerate(self.joints):
+            Rp, pp = Rs[self.parent_link[k]], ps[self.parent_link[k]]
+            R_or = jnp.asarray(rpy_matrix(np.asarray(j.origin_rpy)), dtype)
+            p_or = jnp.asarray(np.asarray(j.origin_xyz), dtype)
+            Rj, pj = compose(Rp, pp, R_or, p_or)
+            qi = self.q_index[k]
+            if qi >= 0 and j.jtype == urdf_mod.REVOLUTE:
+                Rj = Rj @ axis_angle_matrix(jnp.asarray(j.axis, dtype), q[qi])
+            elif qi >= 0 and j.jtype == urdf_mod.PRISMATIC:
+                pj = pj + Rj @ (jnp.asarray(j.axis, dtype) * q[qi])
+            Rs[self.child_link[k]] = Rj
+            ps[self.child_link[k]] = pj
+        return jnp.stack(Rs), jnp.stack(ps)
+
+    def fk_with_axes(self, q: jax.Array):
+        """FK plus per-active-joint world axis z_i and origin o_i (for the
+        geometric Jacobian)."""
+        dtype = q.dtype
+        R, p = self.fk(q)
+        z = jnp.zeros((self.n_dof, 3), dtype)
+        o = jnp.zeros((self.n_dof, 3), dtype)
+        for k, j in enumerate(self.joints):
+            qi = self.q_index[k]
+            if qi < 0:
+                continue
+            # The joint frame = child link frame *before* applying q for
+            # revolute (the axis is unaffected by its own rotation).
+            Rc = R[self.child_link[k]]
+            pc = p[self.child_link[k]]
+            axis = jnp.asarray(j.axis, dtype)
+            if j.jtype == urdf_mod.REVOLUTE:
+                # Rc includes rotation about axis, which fixes axis itself.
+                z = z.at[qi].set(Rc @ axis)
+                o = o.at[qi].set(pc)
+            else:  # prismatic
+                z = z.at[qi].set(Rc @ axis)
+                o = o.at[qi].set(pc)
+        return R, p, z, o
+
+    def jacobian(self, q: jax.Array, link: int | str,
+                 ref_point: jax.Array | None = None) -> jax.Array:
+        """Geometric Jacobian [6, n_dof] ([linear; angular]) of a link (or a
+        point `ref_point` in world coords attached to that link), matching
+        JointGroup::calcJacobian + the ref-point shift used by collision
+        gradients (collision_terms.cpp:203-323)."""
+        if isinstance(link, str):
+            link = self.link_id(link)
+        R, p, z, o = self.fk_with_axes(q)
+        target = p[link] if ref_point is None else ref_point
+        mask = jnp.asarray(self.ancestor[link], q.dtype)  # [n_dof]
+        is_rev = jnp.asarray(self._active_types() == 0)
+        lin_rev = jnp.cross(z, target[None, :] - o)        # [n_dof, 3]
+        lin = jnp.where(is_rev[:, None], lin_rev, z) * mask[:, None]
+        ang = jnp.where(is_rev[:, None], z, jnp.zeros_like(z)) * mask[:, None]
+        return jnp.concatenate([lin.T, ang.T], axis=0)     # [6, n_dof]
+
+    def _active_types(self) -> np.ndarray:
+        out = np.zeros(self.n_dof, np.int32)
+        for k, j in enumerate(self.joints):
+            qi = self.q_index[k]
+            if qi >= 0:
+                out[qi] = 0 if j.jtype == urdf_mod.REVOLUTE else 1
+        return out
+
+
+def build_tree(model: urdf_mod.UrdfModel,
+               active_joints: list[str] | None = None) -> KinematicTree:
+    """Topologically sort the URDF joint graph into a KinematicTree.
+
+    ``active_joints`` selects/orders the actuated joints (like a tesseract
+    JointGroup built from an SRDF group); default = all non-fixed joints in
+    topological order.
+    """
+    children = {j.parent: [] for j in model.joints}
+    for j in model.joints:
+        children.setdefault(j.parent, []).append(j)
+    child_names = {j.child for j in model.joints}
+    roots = [l.name for l in model.links if l.name not in child_names]
+    if len(roots) != 1:
+        raise ValueError(f"expected single root link, got {roots}")
+
+    link_names = [roots[0]]
+    ordered: list[urdf_mod.UrdfJoint] = []
+    stack = [roots[0]]
+    while stack:
+        link = stack.pop()
+        for j in children.get(link, []):
+            ordered.append(j)
+            link_names.append(j.child)
+            stack.append(j.child)
+
+    name_to_id = {n: i for i, n in enumerate(link_names)}
+    parent_link = tuple(name_to_id[j.parent] for j in ordered)
+    child_link = tuple(name_to_id[j.child] for j in ordered)
+
+    if active_joints is None:
+        active_joints = [j.name for j in ordered if j.jtype != urdf_mod.FIXED]
+    q_of = {n: i for i, n in enumerate(active_joints)}
+    q_index = tuple(
+        q_of.get(j.name, -1) if j.jtype != urdf_mod.FIXED else -1
+        for j in ordered)
+
+    lower = np.array([next(j.lower for j in ordered if j.name == n)
+                      for n in active_joints])
+    upper = np.array([next(j.upper for j in ordered if j.name == n)
+                      for n in active_joints])
+
+    # ancestor[l, qi]: does active joint qi move link l?
+    n_links = len(link_names)
+    n_active = len(active_joints)
+    ancestor = np.zeros((n_links, n_active), bool)
+    parent_of_link = {child_link[k]: (parent_link[k], k) for k in range(len(ordered))}
+    for l in range(n_links):
+        cur = l
+        while cur in parent_of_link:
+            p, k = parent_of_link[cur]
+            if q_index[k] >= 0:
+                ancestor[l, q_index[k]] = True
+            cur = p
+
+    return KinematicTree(
+        link_names=tuple(link_names),
+        joints=tuple(ordered),
+        parent_link=parent_link,
+        child_link=child_link,
+        q_index=q_index,
+        active_joint_names=tuple(active_joints),
+        lower=lower,
+        upper=upper,
+        ancestor=ancestor,
+    )

@@ -1,0 +1,227 @@
+"""Cartesian terms: static/dynamic pose, Cartesian velocity, singularity
+avoidance.
+
+Re-creates the error/Jacobian calculator pairs of
+``trajopt/src/kinematic_terms.cpp`` as pure JAX residual functions over the
+trajectory vector, with Jacobians by autodiff through FK (instead of the
+reference's hand-rolled chain-rule + numeric-diff hybrids):
+
+* cart_pose:  CartPoseErrCalculator (kinematic_terms.cpp:250-263) — pose
+  error ``calcTransformError(target, source)`` with tcp offsets, index
+  masking, tolerance bands.  Cost -> ABS penalty with coeff weights;
+  constraint -> EQ rows scaled by coeffs (CartPoseTermInfo::hatch,
+  problem_description.cpp:780-830).
+* dynamic_cart_pose: DynamicCartPoseErrCalculator — target frame rides on
+  another (moving) robot link.
+* cart_vel:   CartVelErrCalculator — per-gap displacement limit rows
+  [dp - limit; -dp - limit] (INEQ).
+* avoid_singularity: AvoidSingularityErrCalculator
+  (kinematic_terms.cpp:586-603) — err = 1/(sigma_min + lambda) - 1/(0.1 + lambda).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from trajopt_tpu.kinematics.chain import KinematicTree
+from trajopt_tpu.kinematics.transforms import (
+    apply_tolerances, compose, transform_error)
+from trajopt_tpu.sqp.nlp import Kind, TermSet
+
+
+def _step_q(x, t, n_steps, n_dof_total, n_dof):
+    return x.reshape(n_steps, n_dof_total)[t, :n_dof]
+
+
+def _as_pose(pose):
+    """Accept (R, p), 4x4, or p-only (identity rotation)."""
+    if pose is None:
+        return np.eye(3), np.zeros(3)
+    if isinstance(pose, tuple):
+        return np.asarray(pose[0]), np.asarray(pose[1])
+    pose = np.asarray(pose)
+    if pose.shape == (4, 4):
+        return pose[:3, :3], pose[:3, 3]
+    if pose.shape == (3,):
+        return np.eye(3), pose
+    raise ValueError(f"bad pose spec shape {pose.shape}")
+
+
+def cart_pose(
+    tree: KinematicTree,
+    link: str,
+    n_steps: int,
+    timestep: int,
+    *,
+    is_cost: bool = True,
+    target=None,            # (R, p) | 4x4 | xyz | params key string
+    tcp=None,               # source-frame offset (R, p) | 4x4 | xyz
+    target_tcp=None,        # offset applied to the target frame
+    coeffs=None,            # weights, len = len(indices) (default 6 ones)
+    indices: Sequence[int] | None = None,
+    upper_tolerance=None,
+    lower_tolerance=None,
+    n_dof_total: int | None = None,
+    name: str | None = None,
+) -> TermSet:
+    """Pose term for one trajectory timestep (CartPoseTermInfo)."""
+    n_dof = tree.n_dof
+    n_dof_total = n_dof_total or n_dof
+    link_id = tree.link_id(link)
+    idx = np.arange(6) if indices is None else np.asarray(indices)
+    cfs = np.ones(len(idx)) if coeffs is None else np.broadcast_to(
+        np.asarray(coeffs, float), (len(idx),))
+    R_tcp, p_tcp = _as_pose(tcp)
+    R_ttcp, p_ttcp = _as_pose(target_tcp)
+    has_tol = upper_tolerance is not None or lower_tolerance is not None
+    up = np.zeros(6) if upper_tolerance is None else np.asarray(upper_tolerance)
+    lo = np.zeros(6) if lower_tolerance is None else np.asarray(lower_tolerance)
+    name = name or f"cart_pose_{link}_t{timestep}"
+
+    def err6(x, params):
+        dtype = x.dtype
+        q = _step_q(x, timestep, n_steps, n_dof_total, n_dof)
+        R, p = tree.fk(q)
+        R_src, p_src = compose(R[link_id], p[link_id],
+                               jnp.asarray(R_tcp, dtype), jnp.asarray(p_tcp, dtype))
+        if isinstance(target, str):
+            tgt = params[target]
+            R_t = jnp.asarray(tgt[0], dtype) if isinstance(tgt, tuple) else jnp.eye(3, dtype=dtype)
+            p_t = jnp.asarray(tgt[1] if isinstance(tgt, tuple) else tgt, dtype)
+        else:
+            R_t_np, p_t_np = _as_pose(target)
+            R_t, p_t = jnp.asarray(R_t_np, dtype), jnp.asarray(p_t_np, dtype)
+        R_t, p_t = compose(R_t, p_t, jnp.asarray(R_ttcp, dtype),
+                           jnp.asarray(p_ttcp, dtype))
+        e = transform_error(R_t, p_t, R_src, p_src)
+        if has_tol:
+            e = apply_tolerances(e, jnp.asarray(lo, dtype), jnp.asarray(up, dtype))
+        return e[idx]
+
+    if is_cost:
+        return TermSet(name, Kind.COST_ABS, err6, len(idx),
+                       weight_fn=lambda p: jnp.asarray(cfs))
+    return TermSet(name, Kind.CNT_EQ,
+                   lambda x, p: err6(x, p) * jnp.asarray(cfs, x.dtype),
+                   len(idx))
+
+
+def dynamic_cart_pose(
+    tree: KinematicTree,
+    source_link: str,
+    target_link: str,
+    n_steps: int,
+    timestep: int,
+    *,
+    is_cost: bool = True,
+    tcp=None,
+    target_tcp=None,
+    coeffs=None,
+    indices: Sequence[int] | None = None,
+    n_dof_total: int | None = None,
+    name: str | None = None,
+) -> TermSet:
+    """Pose error between two moving robot frames (DynamicCartPoseErrCalculator)."""
+    n_dof = tree.n_dof
+    n_dof_total = n_dof_total or n_dof
+    src_id = tree.link_id(source_link)
+    tgt_id = tree.link_id(target_link)
+    idx = np.arange(6) if indices is None else np.asarray(indices)
+    cfs = np.ones(len(idx)) if coeffs is None else np.broadcast_to(
+        np.asarray(coeffs, float), (len(idx),))
+    R_tcp, p_tcp = _as_pose(tcp)
+    R_ttcp, p_ttcp = _as_pose(target_tcp)
+    name = name or f"dyn_cart_pose_{source_link}_{target_link}_t{timestep}"
+
+    def err(x, params):
+        dtype = x.dtype
+        q = _step_q(x, timestep, n_steps, n_dof_total, n_dof)
+        R, p = tree.fk(q)
+        R_s, p_s = compose(R[src_id], p[src_id],
+                           jnp.asarray(R_tcp, dtype), jnp.asarray(p_tcp, dtype))
+        R_t, p_t = compose(R[tgt_id], p[tgt_id],
+                           jnp.asarray(R_ttcp, dtype), jnp.asarray(p_ttcp, dtype))
+        return transform_error(R_t, p_t, R_s, p_s)[idx]
+
+    if is_cost:
+        return TermSet(name, Kind.COST_ABS, err, len(idx),
+                       weight_fn=lambda p: jnp.asarray(cfs))
+    return TermSet(name, Kind.CNT_EQ,
+                   lambda x, p: err(x, p) * jnp.asarray(cfs, x.dtype), len(idx))
+
+
+def cart_vel(
+    tree: KinematicTree,
+    link: str,
+    n_steps: int,
+    *,
+    max_displacement: float,
+    first_step: int = 0,
+    last_step: int = -1,
+    is_cost: bool = False,
+    coeffs=None,
+    n_dof_total: int | None = None,
+    name: str | None = None,
+) -> TermSet:
+    """Per-gap Cartesian displacement limit: rows [dp - limit; -dp - limit]
+    for each xyz axis and gap (CartVelTermInfo / CartVelErrCalculator)."""
+    n_dof = tree.n_dof
+    n_dof_total = n_dof_total or n_dof
+    link_id = tree.link_id(link)
+    if last_step <= -1:
+        last_step = n_steps - 1
+    gaps = list(range(first_step, last_step))
+    name = name or f"cart_vel_{link}"
+    c = 1.0 if coeffs is None else float(np.asarray(coeffs).reshape(()))
+
+    def fn(x, params):
+        qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
+        rows = []
+        for t in gaps:
+            _, p0 = tree.fk(qs[t])
+            _, p1 = tree.fk(qs[t + 1])
+            dp = p1[link_id] - p0[link_id]
+            rows.append(jnp.concatenate([dp - max_displacement,
+                                         -dp - max_displacement]) * c)
+        return jnp.concatenate(rows)
+
+    kind = Kind.COST_HINGE if is_cost else Kind.CNT_INEQ
+    return TermSet(name, kind, fn, 6 * len(gaps))
+
+
+def avoid_singularity(
+    tree: KinematicTree,
+    link: str,
+    n_steps: int,
+    *,
+    lambda_: float = 1.0e-3,
+    coeff: float = 1.0,
+    first_step: int = 0,
+    last_step: int = -1,
+    n_dof_total: int | None = None,
+    name: str | None = None,
+) -> TermSet:
+    """err_t = 1/(sigma_min(J_t) + lambda) - 1/(0.1 + lambda), hinge cost
+    (AvoidSingularityErrCalculator, kinematic_terms.cpp:586-603)."""
+    n_dof = tree.n_dof
+    n_dof_total = n_dof_total or n_dof
+    if last_step <= -1:
+        last_step = n_steps - 1
+    steps = list(range(first_step, last_step + 1))
+    name = name or f"avoid_singularity_{link}"
+    threshold = 1.0 / (0.1 + lambda_)
+
+    def fn(x, params):
+        qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
+        vals = []
+        for t in steps:
+            J = tree.jacobian(qs[t], link)
+            s = jnp.linalg.svd(J, compute_uv=False)
+            vals.append(1.0 / (s[-1] + lambda_) - threshold)
+        return jnp.stack(vals)
+
+    return TermSet(name, Kind.COST_HINGE, fn, len(steps),
+                   weight_fn=lambda p: jnp.asarray(coeff))
