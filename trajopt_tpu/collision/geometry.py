@@ -1,0 +1,183 @@
+"""Collision geometry: differentiable signed-distance kernels for convex
+primitives.
+
+TPU-native replacement for the narrowphase of
+``tesseract::collision::DiscreteContactManager`` (SURVEY.md par. 2.7).
+Instead of GJK/EPA iteration over arbitrary convex meshes, distances are
+closed-form between spheres, capsules (segments + radius), and boxes —
+static shapes, no data-dependent iteration, autodiff-exact gradients.
+Concave/mesh robots are handled by sphere/capsule decomposition (the role
+VHACD plays for the reference, ``trajopt_ext/vhacd``).
+
+All functions return *signed* distance (negative = penetration), which the
+collision terms turn into hinge penalties ``margin - d`` exactly like
+``CollisionCost::convex`` (``trajopt/src/collision_terms.cpp:1283-1304``).
+Swept (cast) collision for a sphere moving along a straight segment is
+*exactly* a capsule, which is why the robot-side primitives are spheres and
+capsules (reference analog: CastCollisionEvaluator's swept shapes,
+collision_terms.cpp cast CalcCollisions).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def _norm(v, axis=-1):
+    """Exact norm with a finite (zero) gradient at v = 0."""
+    ss = jnp.sum(v * v, axis=axis)
+    safe = jnp.where(ss > 0.0, ss, 1.0)
+    return jnp.where(ss > 0.0, jnp.sqrt(safe), 0.0)
+
+
+def sphere_sphere(c0, r0, c1, r1):
+    return _norm(c0 - c1) - (r0 + r1)
+
+
+def point_segment_closest(p, a, b):
+    """Closest point to p on segment [a, b]; returns (point, t)."""
+    ab = b - a
+    t = jnp.clip(jnp.dot(p - a, ab) / (jnp.dot(ab, ab) + _EPS), 0.0, 1.0)
+    return a + t * ab, t
+
+
+def sphere_capsule(c, r, a, b, rc):
+    q, _ = point_segment_closest(c, a, b)
+    return _norm(c - q) - (r + rc)
+
+
+def segment_segment_closest(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1], [p2,q2] (Ericson 5.1.9),
+    with guards so the parallel case stays differentiable."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.dot(d1, d1) + _EPS
+    e = jnp.dot(d2, d2) + _EPS
+    b = jnp.dot(d1, d2)
+    c = jnp.dot(d1, r)
+    f = jnp.dot(d2, r)
+    denom = a * e - b * b
+    s = jnp.where(jnp.abs(denom) > _EPS,
+                  jnp.clip((b * f - c * e) / (denom + _EPS), 0.0, 1.0), 0.0)
+    t = (b * s + f) / e
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    # re-project s for clamped t
+    s = jnp.clip((b * t_cl - c) / a, 0.0, 1.0)
+    t = jnp.clip((b * s + f) / e, 0.0, 1.0)
+    return p1 + s * d1, p2 + t * d2
+
+
+def capsule_capsule(a0, b0, r0, a1, b1, r1):
+    u, v = segment_segment_closest(a0, b0, a1, b1)
+    return _norm(u - v) - (r0 + r1)
+
+
+def point_box_sdf(p_local, half):
+    """Exact signed distance from a point to an origin-centered box in the
+    box frame (standard box SDF)."""
+    q = jnp.abs(p_local) - half
+    outside = _norm(jnp.maximum(q, 0.0))
+    inside = jnp.minimum(jnp.max(q), 0.0)
+    return outside + inside
+
+
+def sphere_box(c, r, R_box, p_box, half):
+    p_local = R_box.T @ (c - p_box)
+    return point_box_sdf(p_local, half) - r
+
+
+def _segment_box_separation(a_l, b_l, half, n_coarse: int = 9,
+                            n_refine: int = 24):
+    """min over t of point_box_sdf(a + t(b-a)) — exact when the segment is
+    outside the box: coarse grid + golden-section refinement with a stopped
+    gradient on t* (envelope theorem; the outside SDF is smooth so the
+    gradient at the minimizer is exact)."""
+
+    def sdf_t(t):
+        return point_box_sdf(a_l + t * (b_l - a_l), half)
+
+    ts = jnp.linspace(0.0, 1.0, n_coarse)
+    vals = jax.vmap(sdf_t)(ts)
+    i = jnp.argmin(vals)
+    step = 1.0 / (n_coarse - 1)
+    lo = jnp.clip(ts[i] - step, 0.0, 1.0)
+    hi = jnp.clip(ts[i] + step, 0.0, 1.0)
+
+    gr = 0.6180339887498949
+
+    def body(_, carry):
+        lo, hi = carry
+        m1 = hi - gr * (hi - lo)
+        m2 = lo + gr * (hi - lo)
+        f1 = sdf_t(m1)
+        f2 = sdf_t(m2)
+        lo = jnp.where(f1 < f2, lo, m1)
+        hi = jnp.where(f1 < f2, m2, hi)
+        return (lo, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_refine, body, (lo, hi))
+    t_star = jax.lax.stop_gradient(0.5 * (lo + hi))
+    return sdf_t(t_star)
+
+
+def _segment_box_penetration(a_l, b_l, half):
+    """Exact minimum-translation penetration depth of an overlapping
+    segment vs an origin-centered box (SAT: the MTV axis of a segment/box
+    overlap is one of the 3 box face normals or segment-dir x box edges).
+
+    This replaces the interior-SDF 'deepest point' notion, whose max-branch
+    has zero-subgradient plateaus that stall the optimizer (the EPA/MTV
+    depth is what tesseract's contact managers report for penetrating
+    contacts)."""
+    u = b_l - a_l
+    axes = [jnp.eye(3, dtype=a_l.dtype)[i] for i in range(3)]
+    for i in range(3):
+        e = jnp.zeros(3, a_l.dtype).at[i].set(1.0)
+        c = jnp.cross(u, e)
+        n = _norm(c)
+        axes.append(jnp.where(n > 1e-9, c / jnp.where(n > 1e-9, n, 1.0), e))
+    overlaps = []
+    for ax in axes:
+        r_box = jnp.sum(half * jnp.abs(ax))
+        pa = jnp.dot(ax, a_l)
+        pb = jnp.dot(ax, b_l)
+        c = 0.5 * (pa + pb)
+        hl = 0.5 * jnp.abs(pa - pb)
+        overlaps.append(r_box + hl - jnp.abs(c))
+    return jnp.min(jnp.stack(overlaps))
+
+
+def segment_box(a, b, R_box, p_box, half, n_coarse: int = 9, n_refine: int = 24):
+    """Signed distance between a segment and a box: exact separation
+    distance outside, exact SAT/MTV penetration depth inside (both
+    differentiable; they meet continuously at zero)."""
+    a_l = R_box.T @ (a - p_box)
+    b_l = R_box.T @ (b - p_box)
+    d_sep = _segment_box_separation(a_l, b_l, half, n_coarse, n_refine)
+    pen = _segment_box_penetration(a_l, b_l, half)
+    return jnp.where(d_sep > 0.0, d_sep, -jnp.maximum(pen, 0.0))
+
+
+def capsule_box(a, b, r, R_box, p_box, half):
+    return segment_box(a, b, R_box, p_box, half) - r
+
+
+def box_box_axis_aligned(R0, p0, h0, R1, p1, h1):
+    """Signed distance between two boxes via the per-axis gap formula in
+    box-0's frame.  Exact when the boxes are axis-aligned relative to each
+    other (e.g. prismatic 'boxbot' robots vs. axis-aligned world boxes —
+    the reference's boxbot fixtures); for rotated pairs it uses the
+    rotated AABB of box 1 (conservative).
+    """
+    R_rel = R0.T @ R1
+    p_rel = R0.T @ (p1 - p0)
+    # AABB half-extents of box1 in box0's frame
+    h1_aab = jnp.abs(R_rel) @ h1
+    gap = jnp.abs(p_rel) - (h0 + h1_aab)
+    outside = _norm(jnp.maximum(gap, 0.0))
+    inside = jnp.minimum(jnp.max(gap), 0.0)
+    return outside + inside

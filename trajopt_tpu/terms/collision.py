@@ -1,0 +1,126 @@
+"""Collision terms: discrete, LVS-discrete, and cast (swept) hinge
+costs/constraints over a CollisionScene.
+
+Re-creates the reference's collision term stack
+(``trajopt/src/collision_terms.cpp``):
+
+* residual per (step-or-gap, pair) = ``margin - signed_distance`` -> hinge
+  cost weighted by coeff (CollisionCost::convex, collision_terms.cpp:
+  1283-1304) or inequality constraint rows (CollisionConstraint::convex,
+  :1368-1389).
+* evaluators: SingleTimestepCollisionEvaluator (one state per step),
+  DiscreteCollisionEvaluator (LVS: interpolated sub-states per gap, worst
+  contact kept), CastCollisionEvaluator (swept shapes per gap with LVS
+  sub-segmentation, SURVEY.md par. 3.4).
+* fixed steps are excluded exactly like CollisionTermInfo::hatch
+  (problem_description.cpp:1714-1759).
+
+TPU-native differences: contact counts are static (all candidate pairs
+every step — the fixed-size formulation the ifopt stack's ``max_num_cnt``
+approximates, ``trajopt_common collision_types.h:162``); gradients come
+from autodiff through FK + distance instead of ``+/- n^T J`` assembly; the
+worst sub-state min is the autodiff subgradient at the argmin, matching the
+reference's choice of linearizing the worst contact.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajopt_tpu.collision.world import CollisionScene
+from trajopt_tpu.sqp.nlp import Kind, TermSet
+
+EVALUATORS = ("discrete", "lvs_discrete", "cast")
+
+
+def collision_term(
+    scene: CollisionScene,
+    n_steps: int,
+    *,
+    margin: float,
+    coeff=20.0,
+    is_cost: bool = True,
+    evaluator: str = "discrete",
+    first_step: int = 0,
+    last_step: int = -1,
+    fixed_steps: Sequence[int] = (),
+    lvs_substeps: int = 5,
+    n_dof_total: int | None = None,
+    name: str | None = None,
+) -> TermSet:
+    """Build the collision TermSet (CollisionTermInfo::hatch analog)."""
+    if evaluator not in EVALUATORS:
+        raise ValueError(f"evaluator must be one of {EVALUATORS}")
+    n_dof = scene.tree.n_dof
+    n_dof_total = n_dof_total or n_dof
+    if last_step <= -1:
+        last_step = n_steps - 1
+    n_pairs = scene.n_pairs
+    if n_pairs == 0:
+        raise ValueError("collision scene has no candidate pairs")
+    name = name or f"collision_{evaluator}"
+    coeff_arr = np.broadcast_to(np.asarray(coeff, float), (n_pairs,))
+
+    if evaluator == "discrete":
+        steps = [t for t in range(first_step, last_step + 1)
+                 if t not in fixed_steps]
+        n_rows = len(steps) * n_pairs
+
+        def raw(x, params):
+            qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
+            ds = jnp.stack([scene.distances(qs[t]) for t in steps])
+            return (margin - ds).reshape(-1)              # [len(steps)*n_pairs]
+
+    else:
+        # Per-gap terms; a gap is skipped only when BOTH endpoints are fixed
+        # (matching the cast hatch's treatment of fixed_steps).  One row per
+        # (gap, sub-segment, pair): the reference collects a contact row per
+        # LVS sub-query (CollisionsToDistanceExpressions builds one AffExpr
+        # per contact, collision_terms.cpp:343-383) — min-reducing over
+        # sub-segments would erase gradient information when the deepest
+        # sub-segment's penetration normal is insensitive to the free vars.
+        gaps = [t for t in range(first_step, last_step)
+                if not (t in fixed_steps and (t + 1) in fixed_steps)]
+        fracs = np.linspace(0.0, 1.0, lvs_substeps + 1)
+
+        if evaluator == "lvs_discrete":
+            n_sub = lvs_substeps + 1
+
+            def gap_dists(q0, q1):
+                return jnp.stack([scene.distances(q0 + f * (q1 - q0))
+                                  for f in fracs])          # [n_sub, n_pairs]
+        else:  # cast: swept over each LVS sub-segment
+            n_sub = lvs_substeps
+
+            def gap_dists(q0, q1):
+                ds = []
+                for k in range(lvs_substeps):
+                    qa = q0 + fracs[k] * (q1 - q0)
+                    qb = q0 + fracs[k + 1] * (q1 - q0)
+                    ds.append(scene.swept_distances(qa, qb))
+                return jnp.stack(ds)                        # [n_sub, n_pairs]
+
+        n_rows = len(gaps) * n_sub * n_pairs
+
+        def raw(x, params):
+            qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
+            ds = jnp.stack([gap_dists(qs[t], qs[t + 1]) for t in gaps])
+            return (margin - ds).reshape(-1)    # [len(gaps)*n_sub*n_pairs]
+
+    n_groups = n_rows // n_pairs
+
+    if is_cost:
+        def weight_fn(params):
+            return jnp.tile(jnp.asarray(coeff_arr), n_groups)
+
+        return TermSet(name, Kind.COST_HINGE, raw, n_rows, weight_fn=weight_fn)
+
+    def fn(x, params):
+        c = jnp.tile(jnp.asarray(coeff_arr, x.dtype), n_groups)
+        return raw(x, params) * c
+
+    return TermSet(name, Kind.CNT_INEQ, fn, n_rows)
