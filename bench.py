@@ -1,0 +1,75 @@
+"""Benchmark: converged 30-step 7-DOF collision-constrained SQP solves/s.
+
+The BASELINE.json north-star metric: >= 1000 converged solves/s on a
+v5e-16 (=> 62.5 solves/s/chip).  This harness measures solves/s on
+whatever single chip is available and reports vs_baseline against the
+per-chip target.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PER_CHIP_TARGET = 1000.0 / 16.0  # BASELINE.json: 1000 solves/s on v5e-16
+
+
+def main():
+    from trajopt_tpu.models.benchmarks import arm_table_batch, arm_table_problem
+    from trajopt_tpu.parallel.mesh import summarize
+    from __graft_entry__ import _solver_params
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    n_steps = 30
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    prob, _ = arm_table_problem(n_steps=n_steps)
+    solve = prob.make_solve(_solver_params())
+    fn = jax.jit(jax.vmap(lambda i, g: solve(i, {"goal": g})))
+
+    inits, goals = arm_table_batch(jax.random.PRNGKey(0), batch, n_steps)
+
+    # compile + warmup
+    t0 = time.time()
+    res = fn(inits, goals)
+    jax.block_until_ready(res)
+    compile_s = time.time() - t0
+
+    times = []
+    for r in range(reps):
+        key = jax.random.PRNGKey(r + 1)
+        i_r, g_r = arm_table_batch(key, batch, n_steps)
+        t0 = time.time()
+        res = fn(i_r, g_r)
+        jax.block_until_ready(res)
+        times.append(time.time() - t0)
+
+    stats = summarize(res)
+    best = min(times)
+    solves_per_s = stats["converged"] / best
+    out = {
+        "metric": "converged 30-step 7-DOF collision-constrained SQP solves/s (1 chip)",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / PER_CHIP_TARGET, 3),
+    }
+    print(json.dumps(out))
+    print(f"# batch={batch} reps={reps} best={best:.3f}s compile={compile_s:.1f}s "
+          f"converged={stats['converged']}/{stats['n']} "
+          f"mean_iter={stats['mean_iter']:.1f} "
+          f"mean_qp={stats['mean_qp_solves']:.1f} "
+          f"p50_latency={best:.3f}s/batch devices={jax.devices()}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""JSON front-end tests: schema parsing, strict unknown-field rejection,
+term dispatch, init trajectories, opt_info overrides — the interface_unit
+/ json-construction-path analog (trajopt/test/interface_unit.cpp).
+
+Fixture documents are written fresh against the schema of
+ProblemConstructionInfo::fromJson (problem_description.cpp:272-307).
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_collision import boxbot_scene, spherebot_scene
+from trajopt_tpu.problem.json_io import Environment, construct_problem
+from trajopt_tpu.sqp.params import SQPStatus
+
+SIMPLE_COLLISION_DOC = {
+    "basic_info": {"n_steps": 1, "manip": "manipulator"},
+    "costs": [
+        {"type": "collision",
+         "params": {"coeffs": 1, "dist_pen": 0.3, "evaluator_type": 1,
+                    "longest_valid_segment_length": 0.05}},
+        {"type": "joint_pos", "name": "joint0",
+         "params": {"coeffs": [1, 1], "targets": [0.0, 0.0],
+                    "first_step": 0, "last_step": 0}},
+    ],
+    "constraints": [
+        {"type": "collision",
+         "params": {"coeffs": 1, "dist_pen": 0.2, "evaluator_type": 1,
+                    "longest_valid_segment_length": 0.05}},
+    ],
+    "init_info": {"type": "given_traj", "data": [[-0.75, 0.75]]},
+}
+
+CAST_DOC = {
+    "basic_info": {"n_steps": 3, "manip": "manipulator",
+                   "fixed_timesteps": [0, 2]},
+    "costs": [
+        {"type": "joint_vel", "name": "jvel0",
+         "params": {"coeffs": [1, 1], "targets": [0, 0]}},
+    ],
+    "constraints": [
+        {"type": "collision",
+         "params": {"coeffs": 20, "dist_pen": 0.05, "evaluator_type": 3,
+                    "fixed_steps": [0, 2]}},
+    ],
+    "init_info": {"type": "given_traj",
+                  "data": [[-1.9, 0.0], [0.0, 1.2], [1.9, 0.0]]},
+}
+
+
+def test_simple_collision_json_solve():
+    scene = spherebot_scene()
+    env = Environment(tree=scene.tree, scene=scene)
+    jp = construct_problem(SIMPLE_COLLISION_DOC, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    d = float(scene.distances(res.x.reshape(2))[0])
+    assert d >= 0.2 - 1e-3
+
+
+def test_cast_json_solve():
+    scene = boxbot_scene()
+    env = Environment(tree=scene.tree, scene=scene)
+    jp = construct_problem(CAST_DOC, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    from trajopt_tpu.collision.check import check_trajectory
+    ok, dmin = check_trajectory(scene, np.asarray(res.x).reshape(3, 2))
+    assert ok, dmin
+
+
+def test_unknown_field_rejected():
+    doc = dict(SIMPLE_COLLISION_DOC)
+    doc["bogus_section"] = {}
+    scene = spherebot_scene()
+    with pytest.raises(ValueError, match="bogus_section"):
+        construct_problem(doc, Environment(tree=scene.tree, scene=scene))
+
+
+def test_unknown_term_param_rejected():
+    doc = json.loads(json.dumps(SIMPLE_COLLISION_DOC))
+    doc["costs"][1]["params"]["nonsense"] = 1
+    scene = spherebot_scene()
+    with pytest.raises(ValueError, match="nonsense"):
+        construct_problem(doc, Environment(tree=scene.tree, scene=scene))
+
+
+def test_stationary_and_interpolated_init():
+    scene = spherebot_scene()
+    env = Environment(tree=scene.tree, scene=scene,
+                      current_state=np.array([1.0, 2.0]))
+    doc = {
+        "basic_info": {"n_steps": 4, "manip": "m"},
+        "costs": [{"type": "joint_vel", "params": {"coeffs": [1, 1]}}],
+        "init_info": {"type": "stationary"},
+    }
+    jp = construct_problem(doc, env)
+    np.testing.assert_allclose(np.asarray(jp.init_traj),
+                               np.tile([1.0, 2.0], (4, 1)))
+    doc["init_info"] = {"type": "joint_interpolated", "endpoint": [3.0, 4.0]}
+    jp = construct_problem(doc, env)
+    np.testing.assert_allclose(np.asarray(jp.init_traj)[-1], [3.0, 4.0])
+    np.testing.assert_allclose(np.asarray(jp.init_traj)[0], [1.0, 2.0])
+
+
+def test_opt_info_overrides():
+    scene = spherebot_scene()
+    doc = {
+        "basic_info": {"n_steps": 1, "manip": "m"},
+        "opt_info": {"max_iter": 7, "cnt_tolerance": 1e-3,
+                     "trust_box_size": 0.5},
+        "costs": [{"type": "joint_pos",
+                   "params": {"targets": [0, 0], "first_step": 0,
+                              "last_step": 0}}],
+    }
+    jp = construct_problem(doc, Environment(tree=scene.tree, scene=scene))
+    assert jp.sqp.max_iter == 7
+    assert jp.sqp.cnt_tolerance == 1e-3
+    assert jp.sqp.initial_trust_box_size == 0.5
+
+
+def test_cart_pose_json_term():
+    from trajopt_tpu.models.robots import rrbot
+    tree = rrbot()
+    env = Environment(tree=tree, current_state=np.array([0.1, 0.1]))
+    target_q = np.array([0.8, -0.6])
+    import tests.test_kinematics as tk
+    target_p = tk.rr_fk(*target_q)
+    doc = {
+        "basic_info": {"n_steps": 1, "manip": "m"},
+        "constraints": [
+            {"type": "cart_pose",
+             "params": {"timestep": 0, "source_frame": "ee_link",
+                        "target_frame": "base_link",
+                        "target_frame_offset_xyz": list(target_p),
+                        "rot_coeffs": [0, 0, 0]}},
+        ],
+        "init_info": {"type": "stationary"},
+    }
+    jp = construct_problem(doc, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    _, p = tree.fk(res.x.reshape(2))
+    np.testing.assert_allclose(p[tree.link_id("ee_link")], target_p, atol=1e-3)

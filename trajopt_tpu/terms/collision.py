@@ -70,10 +70,12 @@ def collision_term(
                  if t not in fixed_steps]
         n_rows = len(steps) * n_pairs
 
+        steps_arr = np.asarray(steps)
+
         def raw(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-            ds = jnp.stack([scene.distances(qs[t]) for t in steps])
-            return (margin - ds).reshape(-1)              # [len(steps)*n_pairs]
+            ds = jax.vmap(scene.distances)(qs[steps_arr])  # [n_steps_sel, n_pairs]
+            return (margin - ds).reshape(-1)
 
     else:
         # Per-gap terms; a gap is skipped only when BOTH endpoints are fixed
@@ -106,9 +108,11 @@ def collision_term(
 
         n_rows = len(gaps) * n_sub * n_pairs
 
+        gaps_arr = np.asarray(gaps)
+
         def raw(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-            ds = jnp.stack([gap_dists(qs[t], qs[t + 1]) for t in gaps])
+            ds = jax.vmap(gap_dists)(qs[gaps_arr], qs[gaps_arr + 1])
             return (margin - ds).reshape(-1)    # [len(gaps)*n_sub*n_pairs]
 
     n_groups = n_rows // n_pairs
