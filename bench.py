@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The SQP/ADMM linear algebra needs true f32 accumulation; the TPU default
+# (bf16 MXU passes) loses the 1e-4-level tolerances the solver relies on.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 PER_CHIP_TARGET = 1000.0 / 16.0  # BASELINE.json: 1000 solves/s on v5e-16
 
 

@@ -1,0 +1,50 @@
+"""Callback/logging tests: per-iteration host callbacks fire from inside
+jit, CSV logs are written, merit tables render (plot_callback /
+file_write_callback / results-print analogs)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from trajopt_tpu.callbacks import (
+    CsvLogger, format_merit_table, make_iteration_callback)
+from trajopt_tpu.problem.trajectory import TrajOptProblem, stationary_init
+from trajopt_tpu.sqp.params import SQPStatus
+from trajopt_tpu.terms.joint import joint_pos, joint_vel
+
+
+def _problem(n=4, d=2):
+    prob = TrajOptProblem(n_steps=n, n_dof=d, joint_lower=[-10, -10],
+                          joint_upper=[10, 10], fixed_steps=[0])
+    prob.add_term(joint_vel(n, d, is_cost=True))
+    prob.add_term(joint_pos(n, d, is_cost=False, targets=np.array([1.0, -1.0]),
+                            first_step=n - 1, last_step=n - 1))
+    return prob
+
+
+def test_iteration_callback_fires(tmp_path):
+    logger = CsvLogger()
+    prob = _problem()
+    solve = prob.make_solve(callback=make_iteration_callback(logger))
+    res = solve(stationary_init(jnp.zeros(2), 4))
+    assert int(res.status) == SQPStatus.CONVERGED
+    assert len(logger.rows) >= 1
+    assert logger.rows[0].x.shape == (8,)
+    assert logger.rows[0].cnt_viols.shape == (1,)
+
+    solver_log = os.path.join(tmp_path, "trajopt_solver.log")
+    vars_log = os.path.join(tmp_path, "trajopt_vars.log")
+    logger.write_solver_log(solver_log)
+    logger.write_vars_log(vars_log)
+    assert open(solver_log).readline().startswith("iteration,")
+    assert len(open(vars_log).readlines()) == len(logger.rows)
+
+
+def test_merit_table_renders():
+    table = format_merit_table(
+        ["joint_vel"], np.array([1.5]),
+        ["goal"], np.array([0.02]), np.array([10.0]))
+    assert "joint_vel" in table
+    assert "merit" in table
+    assert "x10" in table

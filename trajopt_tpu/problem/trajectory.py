@@ -78,10 +78,10 @@ class TrajOptProblem:
             ub = ub.at[:, j].set(x0[:, j])
         return lb.reshape(-1), ub.reshape(-1)
 
-    def make_solve(self, sqp: SQPParams = SQPParams()):
+    def make_solve(self, sqp: SQPParams = SQPParams(), callback=None):
         """Returns solve(init_traj, params) -> SQPResult (jit/vmap friendly)."""
         nlp = self.build()
-        solver = make_solver(nlp, sqp=sqp)
+        solver = make_solver(nlp, sqp=sqp, callback=callback)
 
         def solve(init_traj: jax.Array, params: Any = None) -> SQPResult:
             x0 = jnp.asarray(init_traj).reshape(-1)

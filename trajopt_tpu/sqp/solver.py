@@ -125,10 +125,16 @@ def num_qp_rows(nlp: Nlp) -> int:
     return m_cnt + m_pen + nlp.n
 
 
-def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams()):
+def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
+                callback=None):
     """Build ``solve(x0, lb, ub, params) -> SQPResult`` for a fixed problem
     structure.  The returned function is jit/vmap friendly: batch problems
     by vmapping over (x0, lb, ub, params).
+
+    ``callback(iteration, x, cost_vals, cnt_viols, merit_coeffs, box_size)``
+    is invoked once per SQP iteration (the callCallbacks hook,
+    optimizers.cpp:119-125); use
+    :func:`trajopt_tpu.callbacks.make_iteration_callback` to run host code.
     """
 
     n = nlp.n
@@ -267,6 +273,9 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams())
             return jax.lax.while_loop(cond, body, ts0)
 
         def sqp_step(state: _State) -> _State:
+            if callback is not None:
+                callback(state.total_iter, state.x, state.cost_vals,
+                         state.cnt_viols, state.merit_coeffs, state.box_size)
             model = nlp_mod.convexify(nlp, state.x, params)
             ts = trust_loop(state, model)
 
