@@ -42,10 +42,17 @@ def main():
 
     inits, goals = arm_table_batch(jax.random.PRNGKey(0), batch, n_steps)
 
+    def run_blocking(i, g):
+        """Fully materialize on host — block_until_ready alone does not
+        block on the tunneled device backend."""
+        res = fn(i, g)
+        jax.block_until_ready(res)
+        _ = np.asarray(res.status)
+        return res
+
     # compile + warmup
     t0 = time.time()
-    res = fn(inits, goals)
-    jax.block_until_ready(res)
+    res = run_blocking(inits, goals)
     compile_s = time.time() - t0
 
     times = []
@@ -53,8 +60,7 @@ def main():
         key = jax.random.PRNGKey(r + 1)
         i_r, g_r = arm_table_batch(key, batch, n_steps)
         t0 = time.time()
-        res = fn(i_r, g_r)
-        jax.block_until_ready(res)
+        res = run_blocking(i_r, g_r)
         times.append(time.time() - t0)
 
     stats = summarize(res)

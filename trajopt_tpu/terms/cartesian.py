@@ -192,6 +192,111 @@ def cart_vel(
     return TermSet(name, kind, fn, 6 * len(gaps))
 
 
+def cart_line(
+    tree: KinematicTree,
+    link: str,
+    n_steps: int,
+    timestep: int,
+    *,
+    line_start,            # pose spec: (R, p) | 4x4 | xyz
+    line_end,
+    is_cost: bool = False,
+    coeffs=None,
+    indices: Sequence[int] | None = None,
+    tcp=None,
+    n_dof_total: int | None = None,
+    name: str | None = None,
+) -> TermSet:
+    """Constrain a link pose to a line segment between two target poses
+    (CartLineConstraint, trajopt_ifopt/src/constraints/
+    cartesian_line_constraint.cpp:119-149): the target is the nearest point
+    on the segment (position = clamped projection, orientation = slerp by
+    the projection parameter), then a cart_pose-style error to it."""
+    from trajopt_tpu.kinematics.transforms import (
+        axis_angle_matrix, rotvec_from_matrix)
+
+    n_dof = tree.n_dof
+    n_dof_total = n_dof_total or n_dof
+    link_id = tree.link_id(link)
+    idx = np.arange(6) if indices is None else np.asarray(indices)
+    cfs = np.ones(len(idx)) if coeffs is None else np.broadcast_to(
+        np.asarray(coeffs, float), (len(idx),))
+    R1_np, p1_np = _as_pose(line_start)
+    R2_np, p2_np = _as_pose(line_end)
+    R_tcp, p_tcp = _as_pose(tcp)
+    name = name or f"cart_line_{link}_t{timestep}"
+
+    def err(x, params):
+        dtype = x.dtype
+        q = _step_q(x, timestep, n_steps, n_dof_total, n_dof)
+        R, p = tree.fk(q)
+        R_src, p_src = compose(R[link_id], p[link_id],
+                               jnp.asarray(R_tcp, dtype), jnp.asarray(p_tcp, dtype))
+        p1 = jnp.asarray(p1_np, dtype)
+        p2 = jnp.asarray(p2_np, dtype)
+        R1 = jnp.asarray(R1_np, dtype)
+        R2 = jnp.asarray(R2_np, dtype)
+        ab = p2 - p1
+        t = jnp.clip(jnp.dot(p_src - p1, ab) / (jnp.dot(ab, ab) + 1e-12),
+                     0.0, 1.0)
+        p_line = p1 + t * ab
+        # slerp: R(t) = R1 exp(t log(R1' R2))
+        rv = rotvec_from_matrix(R1.T @ R2)
+        angle = jnp.linalg.norm(rv) + 1e-12
+        R_line = R1 @ axis_angle_matrix(rv / angle, t * angle)
+        return transform_error(R_line, p_line, R_src, p_src)[idx]
+
+    if is_cost:
+        return TermSet(name, Kind.COST_ABS, err, len(idx),
+                       weight_fn=lambda p: jnp.asarray(cfs))
+    return TermSet(name, Kind.CNT_EQ,
+                   lambda x, p: err(x, p) * jnp.asarray(cfs, x.dtype),
+                   len(idx))
+
+
+def ik_constraint(
+    tree: KinematicTree,
+    link: str,
+    n_steps: int,
+    timestep: int,
+    *,
+    target,                # pose spec for the IK target
+    q_seed,
+    is_cost: bool = False,
+    coeffs=None,
+    pos_only: bool = False,
+    n_dof_total: int | None = None,
+    name: str | None = None,
+) -> TermSet:
+    """Constrain joint values at a timestep toward the IK solution of a
+    target pose (InverseKinematicsConstraint: rows = q_t - ik(target),
+    trajopt_ifopt/src/constraints/inverse_kinematics_constraint.cpp).
+    The IK solve runs once at term-construction time."""
+    from trajopt_tpu.kinematics.ik import solve_ik
+
+    n_dof = tree.n_dof
+    n_dof_total = n_dof_total or n_dof
+    R_t, p_t = _as_pose(target)
+    q_ik, err_norm = solve_ik(tree, link, R_t, p_t,
+                              jnp.asarray(q_seed, jnp.float64),
+                              pos_only=pos_only)
+    q_ik = np.asarray(q_ik)
+    cfs = np.ones(n_dof) if coeffs is None else np.broadcast_to(
+        np.asarray(coeffs, float), (n_dof,))
+    name = name or f"ik_{link}_t{timestep}"
+
+    def fn(x, params):
+        q = _step_q(x, timestep, n_steps, n_dof_total, n_dof)
+        return (q - jnp.asarray(q_ik, x.dtype)) * jnp.asarray(cfs, x.dtype)
+
+    kind = Kind.COST_SQ if is_cost else Kind.CNT_EQ
+    if is_cost:
+        return TermSet(name, kind, lambda x, p: _step_q(
+            x, timestep, n_steps, n_dof_total, n_dof) - jnp.asarray(q_ik, x.dtype),
+            n_dof, weight_fn=lambda p: jnp.asarray(cfs))
+    return TermSet(name, kind, fn, n_dof)
+
+
 def avoid_singularity(
     tree: KinematicTree,
     link: str,
