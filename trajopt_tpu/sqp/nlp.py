@@ -80,6 +80,9 @@ class TermSet:
         Constraint violations are unweighted, as in the reference.
       jac_fn: optional analytic Jacobian ``(x, params) -> [n_rows, n]``.
       use_fwd: pick jacfwd over jacrev (better when n_rows >> n).
+      linear: fn is affine in x (constant Jacobian) — the solver hoists the
+        Jacobian out of the SQP loop (the reference precomputes these
+        expressions once in the term constructors, trajectory_costs.cpp).
     """
 
     name: str
@@ -89,6 +92,7 @@ class TermSet:
     weight_fn: Callable[[Params], jax.Array] = lambda p: jnp.asarray(1.0)
     jac_fn: Callable[[jax.Array, Params], jax.Array] | None = None
     use_fwd: bool = False
+    linear: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,16 +146,31 @@ class ConvexModel(NamedTuple):
     u_cnt: jax.Array    # [m_cnt]
 
 
-def _residual_and_jac(term: TermSet, x: jax.Array, params: Params):
+def _residual_and_jac(term: TermSet, x: jax.Array, params: Params,
+                      jac_cache: dict | None = None, key: int | None = None):
     r = term.fn(x, params)
     r = jnp.atleast_1d(jnp.asarray(r))
-    if term.jac_fn is not None:
+    if jac_cache is not None and key in jac_cache:
+        J = jac_cache[key]
+    elif term.jac_fn is not None:
         J = term.jac_fn(x, params)
     elif term.use_fwd:
         J = jax.jacfwd(lambda v: jnp.atleast_1d(term.fn(v, params)))(x)
     else:
         J = jax.jacrev(lambda v: jnp.atleast_1d(term.fn(v, params)))(x)
     return r, J
+
+
+def linear_jacobians(nlp: "Nlp", n: int, params: Params, dtype) -> dict:
+    """Precompute constant Jacobians of affine term sets (hoisted out of
+    the SQP loop by make_solver)."""
+    cache = {}
+    x0 = jnp.zeros((n,), dtype)
+    for i, t in enumerate(nlp.term_sets):
+        if t.linear and t.jac_fn is None:
+            cache[i] = jax.jacrev(
+                lambda v: jnp.atleast_1d(t.fn(v, params)))(x0)
+    return cache
 
 
 def _psd_project(H: jax.Array) -> jax.Array:
@@ -165,6 +184,7 @@ def _psd_project(H: jax.Array) -> jax.Array:
 def cost_row_structure(nlp: Nlp) -> list[tuple[TermSet, slice]]:
     """Static row slices of the stacked cost-row matrix, per non-generic set."""
     out, start = [], 0
+    index_of = {id(t): i for i, t in enumerate(nlp.term_sets)}
     for t in nlp.cost_sets:
         if t.kind in (Kind.COST_GENERIC_FULL, Kind.COST_GENERIC_DIAG):
             continue
@@ -182,11 +202,13 @@ def cnt_row_structure(nlp: Nlp) -> list[tuple[TermSet, slice]]:
     return out
 
 
-def convexify(nlp: Nlp, x: jax.Array, params: Params) -> ConvexModel:
+def convexify(nlp: Nlp, x: jax.Array, params: Params,
+              jac_cache: dict | None = None) -> ConvexModel:
     """Linearize/quadratize every term set at x.
 
     Mirrors one 'convexifyCosts + convexifyConstraints' pass of the SQP loop
     (``trajopt_sco/src/optimizers.cpp:781-783``) in a single batched trace.
+    ``jac_cache`` supplies hoisted constant Jacobians for linear sets.
     """
     dtype = x.dtype
     n = nlp.n
@@ -196,6 +218,7 @@ def convexify(nlp: Nlp, x: jax.Array, params: Params) -> ConvexModel:
     q = jnp.zeros((n,), dtype)
     c0 = jnp.zeros((), dtype)
 
+    index_of = {id(t): i for i, t in enumerate(nlp.term_sets)}
     for t in nlp.cost_sets:
         if t.kind in (Kind.COST_GENERIC_FULL, Kind.COST_GENERIC_DIAG):
             f = lambda v: jnp.reshape(t.fn(v, params), ())
@@ -211,7 +234,7 @@ def convexify(nlp: Nlp, x: jax.Array, params: Params) -> ConvexModel:
             q = q + w * (g - H @ x)
             c0 = c0 + w * (val - g @ x + 0.5 * x @ (H @ x))
         else:
-            r, J = _residual_and_jac(t, x, params)
+            r, J = _residual_and_jac(t, x, params, jac_cache, index_of[id(t)])
             b = r - J @ x
             w = jnp.broadcast_to(jnp.asarray(t.weight_fn(params), dtype), (t.n_rows,))
             A_cost_rows.append(J)
@@ -226,7 +249,7 @@ def convexify(nlp: Nlp, x: jax.Array, params: Params) -> ConvexModel:
 
     A_cnt_rows, b_cnt_rows, l_cnt_rows, u_cnt_rows = [], [], [], []
     for t in nlp.cnt_sets:
-        r, J = _residual_and_jac(t, x, params)
+        r, J = _residual_and_jac(t, x, params, jac_cache, index_of[id(t)])
         b = r - J @ x
         A_cnt_rows.append(J)
         b_cnt_rows.append(b)
@@ -272,6 +295,7 @@ def eval_model_costs(nlp: Nlp, model: ConvexModel, x: jax.Array) -> jax.Array:
                if t.kind in (Kind.COST_GENERIC_FULL, Kind.COST_GENERIC_DIAG)]
     # Preserve cost-set order: rebuild in original order.
     ordered, i_rows, i_gen = [], 0, 0
+    index_of = {id(t): i for i, t in enumerate(nlp.term_sets)}
     for t in nlp.cost_sets:
         if t.kind in (Kind.COST_GENERIC_FULL, Kind.COST_GENERIC_DIAG):
             ordered.append(generic[i_gen]); i_gen += 1

@@ -272,11 +272,15 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
             )
             return jax.lax.while_loop(cond, body, ts0)
 
+        # Constant Jacobians of affine terms, hoisted out of the loop
+        # (loop-invariant values XLA keeps resident).
+        jac_cache = nlp_mod.linear_jacobians(nlp, n, params, dtype)
+
         def sqp_step(state: _State) -> _State:
             if callback is not None:
                 callback(state.total_iter, state.x, state.cost_vals,
                          state.cnt_viols, state.merit_coeffs, state.box_size)
-            model = nlp_mod.convexify(nlp, state.x, params)
+            model = nlp_mod.convexify(nlp, state.x, params, jac_cache)
             ts = trust_loop(state, model)
 
             if n_cnt == 0:

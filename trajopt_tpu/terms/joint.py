@@ -124,13 +124,13 @@ def joint_term(
                 return jnp.tile(c, n_t)
 
             return TermSet(name, Kind.COST_SQ, fn, n_t * n_dof,
-                           weight_fn=weight_fn)
+                           weight_fn=weight_fn, linear=True)
 
         def fn(x, params):
             c = _resolve(coeffs, params, n_dof, default=np.ones(n_dof))
             return (values(x, params) * c[None, :]).reshape(-1)
 
-        return TermSet(name, Kind.CNT_EQ, fn, n_t * n_dof)
+        return TermSet(name, Kind.CNT_EQ, fn, n_t * n_dof, linear=True)
 
     # Tolerance band: two rows (upper, lower) per (t, dof), coeff-scaled.
     def fn(x, params):
@@ -143,7 +143,7 @@ def joint_term(
         return jnp.concatenate([upper_rows.reshape(-1), lower_rows.reshape(-1)])
 
     kind = Kind.COST_HINGE if is_cost else Kind.CNT_INEQ
-    return TermSet(name, kind, fn, 2 * n_t * n_dof)
+    return TermSet(name, kind, fn, 2 * n_t * n_dof, linear=True)
 
 
 def _has_band(tols) -> bool:
