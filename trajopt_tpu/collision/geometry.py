@@ -90,8 +90,8 @@ def sphere_box(c, r, R_box, p_box, half):
     return point_box_sdf(p_local, half) - r
 
 
-def _segment_box_separation(a_l, b_l, half, n_coarse: int = 9,
-                            n_refine: int = 24):
+def _segment_box_separation(a_l, b_l, half, n_coarse: int = 7,
+                            n_refine: int = 14):
     """min over t of point_box_sdf(a + t(b-a)) — exact when the segment is
     outside the box: coarse grid + golden-section refinement with a stopped
     gradient on t* (envelope theorem; the outside SDF is smooth so the
@@ -151,7 +151,7 @@ def _segment_box_penetration(a_l, b_l, half):
     return jnp.min(jnp.stack(overlaps))
 
 
-def segment_box(a, b, R_box, p_box, half, n_coarse: int = 9, n_refine: int = 24):
+def segment_box(a, b, R_box, p_box, half, n_coarse: int = 7, n_refine: int = 14):
     """Signed distance between a segment and a box: exact separation
     distance outside, exact SAT/MTV penetration depth inside (both
     differentiable; they meet continuously at zero)."""

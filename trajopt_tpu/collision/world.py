@@ -161,6 +161,7 @@ class CollisionScene:
 
     def add_geom(self, g: CollGeom) -> "CollisionScene":
         self.geoms.append(g)
+        self._groups_cache = None
         return self
 
     def add_world_box(self, name, half_extents, center, R=None):
@@ -225,16 +226,100 @@ class CollisionScene:
 
     # ---------------------------------------------------------- distances
 
+    def _pair_groups(self):
+        """Static per-type grouping of candidate pairs for vectorized
+        narrowphase: one vmapped kernel per (kind_a, kind_b) group instead
+        of a Python loop over pairs (cuts op-dispatch latency ~n_pairs x)."""
+        if getattr(self, "_groups_cache", None) is not None:
+            return self._groups_cache
+        rank = {SPHERE: 0, CAPSULE: 1, BOX: 2}
+        groups: dict = {}
+        for idx, (ga, gb) in enumerate(self.pairs()):
+            if rank[ga.kind] > rank[gb.kind]:
+                ga, gb = gb, ga
+            key = (ga.kind, gb.kind)
+            groups.setdefault(key, []).append((idx, ga, gb))
+
+        def geom_arrays(geoms):
+            link_ids = np.array([self.tree.link_id(g.link) if g.link else -1
+                                 for g in geoms])
+            return {
+                "link": link_ids,
+                "is_static": np.array([g.link is None for g in geoms]),
+                "R": np.stack([g.R_local for g in geoms]),
+                "p": np.stack([g.p_local for g in geoms]),
+                "ea": np.stack([g.ea for g in geoms]),
+                "eb": np.stack([g.eb for g in geoms]),
+                "params": np.stack([np.pad(np.asarray(g.params, float),
+                                           (0, 3 - len(g.params)))
+                                    for g in geoms]),
+            }
+
+        out = []
+        for key, items in groups.items():
+            idxs = np.array([i for i, _, _ in items])
+            a = geom_arrays([ga for _, ga, _ in items])
+            b = geom_arrays([gb for _, _, gb in items])
+            out.append((key, idxs, a, b))
+        self._groups_cache = out
+        return out
+
+    @staticmethod
+    def _posed(arrs, R_links, p_links, dtype):
+        """World pose + capsule endpoints for a geom-array group [P, ...]."""
+        Rl = jnp.asarray(arrs["R"], dtype)
+        pl_ = jnp.asarray(arrs["p"], dtype)
+        link = arrs["link"]
+        static = arrs["is_static"][:, None, None]
+        R_par = jnp.where(jnp.asarray(static),
+                          jnp.eye(3, dtype=dtype)[None],
+                          R_links[jnp.asarray(link)])
+        p_par = jnp.where(jnp.asarray(arrs["is_static"][:, None]),
+                          jnp.zeros(3, dtype),
+                          p_links[jnp.asarray(link)])
+        R = jnp.einsum("pij,pjk->pik", R_par, Rl)
+        p = jnp.einsum("pij,pj->pi", R_par, pl_) + p_par
+        ea = jnp.einsum("pij,pj->pi", R, jnp.asarray(arrs["ea"], dtype)) + p
+        eb = jnp.einsum("pij,pj->pi", R, jnp.asarray(arrs["eb"], dtype)) + p
+        return R, p, ea, eb
+
+    def _group_distance(self, key, a, b, Ra, pa, eaa, eba, Rb, pb, eab, ebb,
+                       dtype):
+        ka, kb = key
+        pr_a = jnp.asarray(a["params"], dtype)
+        pr_b = jnp.asarray(b["params"], dtype)
+        if key == (SPHERE, SPHERE):
+            return jax.vmap(geom.sphere_sphere)(pa, pr_a[:, 0], pb, pr_b[:, 0])
+        if key == (SPHERE, CAPSULE):
+            return jax.vmap(geom.sphere_capsule)(pa, pr_a[:, 0], eab, ebb,
+                                                 pr_b[:, 0])
+        if key == (SPHERE, BOX):
+            return jax.vmap(geom.sphere_box)(pa, pr_a[:, 0], Rb, pb, pr_b)
+        if key == (CAPSULE, CAPSULE):
+            return jax.vmap(geom.capsule_capsule)(eaa, eba, pr_a[:, 0],
+                                                  eab, ebb, pr_b[:, 0])
+        if key == (CAPSULE, BOX):
+            return jax.vmap(geom.capsule_box)(eaa, eba, pr_a[:, 0],
+                                              Rb, pb, pr_b)
+        if key == (BOX, BOX):
+            return jax.vmap(geom.box_box_axis_aligned)(Ra, pa, pr_a,
+                                                       Rb, pb, pr_b)
+        raise ValueError(f"unsupported group {key}")
+
     def distances(self, q: jax.Array) -> jax.Array:
-        """[n_pairs] signed distances at one configuration."""
+        """[n_pairs] signed distances at one configuration (vectorized
+        grouped narrowphase)."""
         dtype = q.dtype
         R, p = self.tree.fk(q)
-        out = []
-        for ga, gb in self.pairs():
-            Ra, pa = _world_pose(ga, self.tree, R, p, dtype)
-            Rb, pb = _world_pose(gb, self.tree, R, p, dtype)
-            out.append(pair_distance(ga, gb, Ra, pa, Rb, pb, dtype))
-        return jnp.stack(out)
+        n = self.n_pairs
+        out = jnp.zeros((n,), dtype)
+        for key, idxs, a, b in self._pair_groups():
+            Ra, pa, eaa, eba = self._posed(a, R, p, dtype)
+            Rb, pb, eab, ebb = self._posed(b, R, p, dtype)
+            d = self._group_distance(key, a, b, Ra, pa, eaa, eba,
+                                     Rb, pb, eab, ebb, dtype)
+            out = out.at[jnp.asarray(idxs)].set(d)
+        return out
 
     def swept_distances(self, q0: jax.Array, q1: jax.Array) -> jax.Array:
         """[n_pairs] signed distances of geometry swept from q0 to q1

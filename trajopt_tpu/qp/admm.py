@@ -88,6 +88,9 @@ class ADMMConfig:
     rho_min: float = 1e-6
     rho_max: float = 1e6
     ruiz_iters: int = 10  # OSQP default `scaling` passes
+    # Fuse each check_every-iteration chunk into one Pallas VMEM kernel
+    # (TPU only; see trajopt_tpu/qp/pallas_admm.py).
+    use_pallas: bool = False
 
 
 class Scaling(NamedTuple):
@@ -248,11 +251,19 @@ def solve_qp(
     def chunk(state: ADMMState) -> ADMMState:
         rho_vec = _row_rho(qp, cfg, state.rho_scale)
         L = _factor(qp, cfg, rho_vec)
-        carry = (state.x, state.z, state.y, qp.A @ state.x)
-        carry = jax.lax.fori_loop(
-            0, cfg.check_every, lambda _, c: admm_iter(c, rho_vec, L), carry
-        )
-        x, z, y, Ax = carry
+        if cfg.use_pallas:
+            from trajopt_tpu.qp.pallas_admm import admm_chunk_pallas
+            x, z, y = admm_chunk_pallas(
+                L, qp.A, qp.q, qp.l, qp.u, qp.c, rho_vec,
+                state.x, state.z, state.y,
+                sigma=cfg.sigma, alpha=cfg.alpha, n_iters=cfg.check_every)
+            Ax = qp.A @ x
+        else:
+            carry = (state.x, state.z, state.y, qp.A @ state.x)
+            carry = jax.lax.fori_loop(
+                0, cfg.check_every, lambda _, c: admm_iter(c, rho_vec, L), carry
+            )
+            x, z, y, Ax = carry
 
         # Unscaled residuals (OSQP computes termination in original units).
         Px = qp.P @ x
