@@ -32,7 +32,7 @@ from trajopt_tpu.kinematics.chain import KinematicTree
 from trajopt_tpu.kinematics.transforms import rpy_matrix
 from trajopt_tpu.kinematics import urdf as urdf_mod
 
-SPHERE, CAPSULE, BOX = "sphere", "capsule", "box"
+SPHERE, CAPSULE, BOX, SDF = "sphere", "capsule", "box", "sdf"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +48,9 @@ class CollGeom:
     # capsule endpoints in the local frame (after R_local/p_local)
     ea: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
     eb: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    # SDF-grid world geometry (kind == "sdf"; static only) — the octree/
+    # octomap analog (see trajopt_tpu/collision/sdf_grid.py)
+    grid: object = None
 
 
 def _world_pose(g: CollGeom, tree: KinematicTree, R_links, p_links, dtype):
@@ -169,6 +172,11 @@ class CollisionScene:
                                       R_local=np.eye(3) if R is None else np.asarray(R),
                                       p_local=np.asarray(center, float)))
 
+    def add_world_sdf(self, name, grid):
+        """Arbitrary static geometry baked into an SDF voxel grid (octomap
+        world analog, cast_cost_octomap_unit.cpp)."""
+        return self.add_geom(CollGeom(name, SDF, (), link=None, grid=grid))
+
     def add_world_sphere(self, name, radius, center):
         return self.add_geom(CollGeom(name, SPHERE, (float(radius),), link=None,
                                       p_local=np.asarray(center, float)))
@@ -232,11 +240,15 @@ class CollisionScene:
         of a Python loop over pairs (cuts op-dispatch latency ~n_pairs x)."""
         if getattr(self, "_groups_cache", None) is not None:
             return self._groups_cache
-        rank = {SPHERE: 0, CAPSULE: 1, BOX: 2}
+        rank = {SPHERE: 0, CAPSULE: 1, BOX: 2, SDF: 3}
         groups: dict = {}
+        self._sdf_pairs = []
         for idx, (ga, gb) in enumerate(self.pairs()):
             if rank[ga.kind] > rank[gb.kind]:
                 ga, gb = gb, ga
+            if gb.kind == SDF:
+                self._sdf_pairs.append((idx, ga, gb))
+                continue
             key = (ga.kind, gb.kind)
             groups.setdefault(key, []).append((idx, ga, gb))
 
@@ -319,7 +331,23 @@ class CollisionScene:
             d = self._group_distance(key, a, b, Ra, pa, eaa, eba,
                                      Rb, pb, eab, ebb, dtype)
             out = out.at[jnp.asarray(idxs)].set(d)
+        for idx, ga, gb in self._sdf_pairs:
+            Ra, pa = _world_pose(ga, self.tree, R, p, dtype)
+            out = out.at[idx].set(self._sdf_distance(ga, gb, Ra, pa, dtype))
         return out
+
+    def _sdf_distance(self, ga: CollGeom, gb: CollGeom, Ra, pa, dtype):
+        from trajopt_tpu.collision import sdf_grid as sg
+        if ga.kind == SPHERE:
+            return sg.sphere_sdf_distance(gb.grid, pa, ga.params[0])
+        if ga.kind == CAPSULE:
+            a, b = _endpoints(ga, Ra, pa, dtype)
+            return sg.capsule_sdf_distance(gb.grid, a, b, ga.params[0])
+        if ga.kind == BOX:
+            # conservative: bounding sphere of the box
+            r_bound = float(np.linalg.norm(ga.params))
+            return sg.sphere_sdf_distance(gb.grid, pa, r_bound)
+        raise ValueError(f"unsupported sdf pair with {ga.kind}")
 
     def swept_distances(self, q0: jax.Array, q1: jax.Array) -> jax.Array:
         """[n_pairs] signed distances of geometry swept from q0 to q1
@@ -339,6 +367,15 @@ class CollisionScene:
                 Rb1, pb1 = _world_pose(gb, self.tree, R1, p1, dtype)
                 d1 = pair_distance(ga, gb, Ra1, pa1, Rb1, pb1, dtype)
                 out.append(jnp.minimum(d0, d1))
+            elif gb.kind == SDF:
+                from trajopt_tpu.collision import sdf_grid as sg
+                if ga.kind == SPHERE:
+                    out.append(sg.capsule_sdf_distance(gb.grid, pa0, pa1,
+                                                       ga.params[0]))
+                else:
+                    d0 = self._sdf_distance(ga, gb, Ra0, pa0, dtype)
+                    d1 = self._sdf_distance(ga, gb, Ra1, pa1, dtype)
+                    out.append(jnp.minimum(d0, d1))
             else:
                 out.append(_swept_pair_distance(ga, gb, Ra0, pa0, Ra1, pa1,
                                                Rb, pb, dtype))
