@@ -249,3 +249,23 @@ def test_batched_collision_solves_with_random_obstacles():
         np.testing.assert_allclose(traj[-1], goals[b], atol=1e-3)
         for q in traj:
             assert float(jnp.min(s.distances(jnp.asarray(q)))) >= 0.1 - 1e-3
+
+
+def test_structured_jacobian_matches_full_autodiff():
+    """The per-step/per-gap scatter Jacobians must equal jacrev through the
+    full trajectory vector."""
+    s = boxbot_scene()
+    n = 4
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(n * 2,)) * 1.5)
+    for term in [
+        collision_term(s, n, margin=0.05, coeff=3.0, is_cost=False,
+                       fixed_steps=[0]),
+        collision_term(s, n, margin=0.05, coeff=3.0, is_cost=False,
+                       evaluator="cast", lvs_substeps=3),
+        collision_term(s, n, margin=0.05, is_cost=True,
+                       evaluator="lvs_discrete", lvs_substeps=2),
+    ]:
+        J_full = jax.jacrev(lambda v: term.fn(v, {}))(x)
+        J_struct = term.jac_fn(x, {})
+        np.testing.assert_allclose(J_struct, J_full, atol=1e-9,
+                                   err_msg=term.name)

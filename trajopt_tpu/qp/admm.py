@@ -248,9 +248,17 @@ def solve_qp(
         y_new = y + rho_vec * (zr - z_new)
         return (x_new, z_new, y_new, Ax_new)
 
+    if not cfg.adaptive_rho:
+        # rho never changes: factor once, outside the iteration loop.
+        _rho_const = _row_rho(qp, cfg, jnp.asarray(1.0, dtype))
+        _Minv_const = _factor(qp, cfg, _rho_const)
+
     def chunk(state: ADMMState) -> ADMMState:
-        rho_vec = _row_rho(qp, cfg, state.rho_scale)
-        L = _factor(qp, cfg, rho_vec)
+        if cfg.adaptive_rho:
+            rho_vec = _row_rho(qp, cfg, state.rho_scale)
+            L = _factor(qp, cfg, rho_vec)
+        else:
+            rho_vec, L = _rho_const, _Minv_const
         if cfg.use_pallas:
             from trajopt_tpu.qp.pallas_admm import admm_chunk_pallas
             x, z, y = admm_chunk_pallas(

@@ -77,6 +77,23 @@ def collision_term(
             ds = jax.vmap(scene.distances)(qs[steps_arr])  # [n_steps_sel, n_pairs]
             return (margin - ds).reshape(-1)
 
+        # Block-structured Jacobian: each row depends on ONE timestep's
+        # n_dof joints — differentiate per step (n_dof tangents instead of
+        # n_steps*n_dof) and scatter into the dense matrix (the banded
+        # structure the reference's VarArray terms exploit implicitly).
+        S = len(steps)
+        onehot = np.zeros((S, n_steps), np.float64)
+        onehot[np.arange(S), steps_arr] = 1.0
+
+        def jac(x, params):
+            qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
+            Js = jax.vmap(jax.jacrev(scene.distances))(qs[steps_arr])
+            # Js: [S, n_pairs, n_dof]; rows = -d(dist)/dq
+            J = jnp.einsum("spd,st->sptd", -Js, jnp.asarray(onehot, x.dtype))
+            out = jnp.zeros((S, n_pairs, n_steps, n_dof_total), x.dtype)
+            out = out.at[..., :n_dof].set(J)
+            return out.reshape(S * n_pairs, n_steps * n_dof_total)
+
     else:
         # Per-gap terms; a gap is skipped only when BOTH endpoints are fixed
         # (matching the cast hatch's treatment of fixed_steps).  One row per
@@ -115,16 +132,41 @@ def collision_term(
             ds = jax.vmap(gap_dists)(qs[gaps_arr], qs[gaps_arr + 1])
             return (margin - ds).reshape(-1)    # [len(gaps)*n_sub*n_pairs]
 
+        # Per-gap Jacobian: rows couple exactly two adjacent steps.
+        G = len(gaps)
+        onehot0 = np.zeros((G, n_steps), np.float64)
+        onehot0[np.arange(G), gaps_arr] = 1.0
+        onehot1 = np.zeros((G, n_steps), np.float64)
+        onehot1[np.arange(G), gaps_arr + 1] = 1.0
+
+        def jac(x, params):
+            qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
+            J0, J1 = jax.vmap(jax.jacrev(gap_dists, argnums=(0, 1)))(
+                qs[gaps_arr], qs[gaps_arr + 1])
+            # J*: [G, n_sub, n_pairs, n_dof]
+            oh0 = jnp.asarray(onehot0, x.dtype)
+            oh1 = jnp.asarray(onehot1, x.dtype)
+            J = jnp.einsum("gkpd,gt->gkptd", -J0, oh0) + \
+                jnp.einsum("gkpd,gt->gkptd", -J1, oh1)
+            out = jnp.zeros((G, n_sub, n_pairs, n_steps, n_dof_total), x.dtype)
+            out = out.at[..., :n_dof].set(J)
+            return out.reshape(n_rows, n_steps * n_dof_total)
+
     n_groups = n_rows // n_pairs
 
     if is_cost:
         def weight_fn(params):
             return jnp.tile(jnp.asarray(coeff_arr), n_groups)
 
-        return TermSet(name, Kind.COST_HINGE, raw, n_rows, weight_fn=weight_fn)
+        return TermSet(name, Kind.COST_HINGE, raw, n_rows, weight_fn=weight_fn,
+                       jac_fn=jac)
 
     def fn(x, params):
         c = jnp.tile(jnp.asarray(coeff_arr, x.dtype), n_groups)
         return raw(x, params) * c
 
-    return TermSet(name, Kind.CNT_INEQ, fn, n_rows)
+    def jac_scaled(x, params):
+        c = jnp.tile(jnp.asarray(coeff_arr, x.dtype), n_groups)
+        return jac(x, params) * c[:, None]
+
+    return TermSet(name, Kind.CNT_INEQ, fn, n_rows, jac_fn=jac_scaled)
