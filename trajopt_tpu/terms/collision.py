@@ -37,6 +37,23 @@ from trajopt_tpu.sqp.nlp import Kind, TermSet
 EVALUATORS = ("discrete", "lvs_discrete", "cast")
 
 
+def _per_pair(scene: CollisionScene, value, overrides) -> np.ndarray:
+    """Broadcast a scalar/array to per-pair values with optional per-link/
+    geom-pair overrides keyed by (name_a, name_b) or (link_a, link_b)
+    (CollisionCoeffData / per-pair margin data,
+    trajopt_common collision_types.h:48-166)."""
+    pairs = scene.pairs()
+    out = np.broadcast_to(np.asarray(value, float), (len(pairs),)).copy()
+    if overrides:
+        for i, (ga, gb) in enumerate(pairs):
+            for key, v in overrides.items():
+                ka, kb = key
+                names = {ga.name, gb.name, ga.link, gb.link}
+                if ka in names and kb in names:
+                    out[i] = v
+    return out
+
+
 def collision_term(
     scene: CollisionScene,
     n_steps: int,
@@ -49,38 +66,63 @@ def collision_term(
     last_step: int = -1,
     fixed_steps: Sequence[int] = (),
     lvs_substeps: int = 5,
+    pair_coeffs: dict | None = None,
+    pair_margins: dict | None = None,
+    max_num_cnt: int | None = None,
     n_dof_total: int | None = None,
     name: str | None = None,
 ) -> TermSet:
-    """Build the collision TermSet (CollisionTermInfo::hatch analog)."""
+    """Build the collision TermSet (CollisionTermInfo::hatch analog).
+
+    ``pair_coeffs`` / ``pair_margins`` override coeff/margin per link or
+    geometry pair (CollisionCoeffData semantics).  ``max_num_cnt`` keeps
+    only the k most-violating pairs per step/gap via top_k — the fixed-size
+    contact cap of collision_types.h:162 with static shapes.
+    """
     if evaluator not in EVALUATORS:
         raise ValueError(f"evaluator must be one of {EVALUATORS}")
     n_dof = scene.tree.n_dof
     n_dof_total = n_dof_total or n_dof
     if last_step <= -1:
         last_step = n_steps - 1
-    n_pairs = scene.n_pairs
-    if n_pairs == 0:
+    n_pairs_full = scene.n_pairs
+    if n_pairs_full == 0:
         raise ValueError("collision scene has no candidate pairs")
     name = name or f"collision_{evaluator}"
-    coeff_arr = np.broadcast_to(np.asarray(coeff, float), (n_pairs,))
+    coeff_full = _per_pair(scene, coeff, pair_coeffs)
+    margin_full = _per_pair(scene, margin, pair_margins)
+
+    topk = max_num_cnt is not None and max_num_cnt < n_pairs_full
+    k_pairs = max_num_cnt if topk else n_pairs_full
+
+    def select_pairs(viol_rows):
+        """viol_rows [..., n_pairs] -> top-k by violation, static shape.
+        Gradients flow through the gathered entries (the reference
+        linearizes exactly the selected worst contacts)."""
+        if not topk:
+            return viol_rows
+        vals, idx = jax.lax.top_k(viol_rows, k_pairs)
+        return vals
 
     if evaluator == "discrete":
         steps = [t for t in range(first_step, last_step + 1)
                  if t not in fixed_steps]
-        n_rows = len(steps) * n_pairs
-
         steps_arr = np.asarray(steps)
+        n_rows = len(steps) * k_pairs
 
         def raw(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-            ds = jax.vmap(scene.distances)(qs[steps_arr])  # [n_steps_sel, n_pairs]
-            return (margin - ds).reshape(-1)
+            ds = jax.vmap(scene.distances)(qs[steps_arr])  # [S, n_pairs]
+            viol = jnp.asarray(coeff_full, x.dtype) * \
+                (jnp.asarray(margin_full, x.dtype) - ds)
+            return select_pairs(viol).reshape(-1)
 
         # Block-structured Jacobian: each row depends on ONE timestep's
         # n_dof joints — differentiate per step (n_dof tangents instead of
         # n_steps*n_dof) and scatter into the dense matrix (the banded
         # structure the reference's VarArray terms exploit implicitly).
+        # With the top-k cap, row->pair mapping is data-dependent, so fall
+        # back to full autodiff (top_k gathers differentiate fine).
         S = len(steps)
         onehot = np.zeros((S, n_steps), np.float64)
         onehot[np.arange(S), steps_arr] = 1.0
@@ -88,11 +130,11 @@ def collision_term(
         def jac(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
             Js = jax.vmap(jax.jacrev(scene.distances))(qs[steps_arr])
-            # Js: [S, n_pairs, n_dof]; rows = -d(dist)/dq
-            J = jnp.einsum("spd,st->sptd", -Js, jnp.asarray(onehot, x.dtype))
-            out = jnp.zeros((S, n_pairs, n_steps, n_dof_total), x.dtype)
+            Js = -Js * jnp.asarray(coeff_full, x.dtype)[None, :, None]
+            J = jnp.einsum("spd,st->sptd", Js, jnp.asarray(onehot, x.dtype))
+            out = jnp.zeros((S, n_pairs_full, n_steps, n_dof_total), x.dtype)
             out = out.at[..., :n_dof].set(J)
-            return out.reshape(S * n_pairs, n_steps * n_dof_total)
+            return out.reshape(S * n_pairs_full, n_steps * n_dof_total)
 
     else:
         # Per-gap terms; a gap is skipped only when BOTH endpoints are fixed
@@ -123,14 +165,15 @@ def collision_term(
                     ds.append(scene.swept_distances(qa, qb))
                 return jnp.stack(ds)                        # [n_sub, n_pairs]
 
-        n_rows = len(gaps) * n_sub * n_pairs
-
+        n_rows = len(gaps) * n_sub * k_pairs
         gaps_arr = np.asarray(gaps)
 
         def raw(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
             ds = jax.vmap(gap_dists)(qs[gaps_arr], qs[gaps_arr + 1])
-            return (margin - ds).reshape(-1)    # [len(gaps)*n_sub*n_pairs]
+            viol = jnp.asarray(coeff_full, x.dtype) * \
+                (jnp.asarray(margin_full, x.dtype) - ds)
+            return select_pairs(viol).reshape(-1)
 
         # Per-gap Jacobian: rows couple exactly two adjacent steps.
         G = len(gaps)
@@ -144,29 +187,20 @@ def collision_term(
             J0, J1 = jax.vmap(jax.jacrev(gap_dists, argnums=(0, 1)))(
                 qs[gaps_arr], qs[gaps_arr + 1])
             # J*: [G, n_sub, n_pairs, n_dof]
+            cf = jnp.asarray(coeff_full, x.dtype)[None, None, :, None]
             oh0 = jnp.asarray(onehot0, x.dtype)
             oh1 = jnp.asarray(onehot1, x.dtype)
-            J = jnp.einsum("gkpd,gt->gkptd", -J0, oh0) + \
-                jnp.einsum("gkpd,gt->gkptd", -J1, oh1)
-            out = jnp.zeros((G, n_sub, n_pairs, n_steps, n_dof_total), x.dtype)
+            J = jnp.einsum("gkpd,gt->gkptd", -J0 * cf, oh0) + \
+                jnp.einsum("gkpd,gt->gkptd", -J1 * cf, oh1)
+            out = jnp.zeros((G, n_sub, n_pairs_full, n_steps, n_dof_total),
+                            x.dtype)
             out = out.at[..., :n_dof].set(J)
-            return out.reshape(n_rows, n_steps * n_dof_total)
+            return out.reshape(G * n_sub * n_pairs_full,
+                               n_steps * n_dof_total)
 
-    n_groups = n_rows // n_pairs
-
-    if is_cost:
-        def weight_fn(params):
-            return jnp.tile(jnp.asarray(coeff_arr), n_groups)
-
-        return TermSet(name, Kind.COST_HINGE, raw, n_rows, weight_fn=weight_fn,
-                       jac_fn=jac)
-
-    def fn(x, params):
-        c = jnp.tile(jnp.asarray(coeff_arr, x.dtype), n_groups)
-        return raw(x, params) * c
-
-    def jac_scaled(x, params):
-        c = jnp.tile(jnp.asarray(coeff_arr, x.dtype), n_groups)
-        return jac(x, params) * c[:, None]
-
-    return TermSet(name, Kind.CNT_INEQ, fn, n_rows, jac_fn=jac_scaled)
+    # Coefficients are folded into the residual rows (reference convention:
+    # constraint violations and hinge values include the coeff), so the
+    # hinge weight is 1.
+    jac_fn = None if topk else jac
+    kind = Kind.COST_HINGE if is_cost else Kind.CNT_INEQ
+    return TermSet(name, kind, raw, n_rows, jac_fn=jac_fn)
