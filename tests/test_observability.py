@@ -48,3 +48,20 @@ def test_merit_table_renders():
     assert "joint_vel" in table
     assert "merit" in table
     assert "x10" in table
+
+
+def test_plotting_writes_pngs(tmp_path):
+    import os
+    from trajopt_tpu.callbacks import CsvLogger, make_iteration_callback
+    from trajopt_tpu.plotting import plot_iterations, plot_trajectory_joints
+    import jax.numpy as jnp
+    logger = CsvLogger()
+    prob = _problem()
+    solve = prob.make_solve(callback=make_iteration_callback(logger))
+    res = solve(stationary_init(jnp.zeros(2), 4))
+    p1 = os.path.join(tmp_path, "iters.png")
+    p2 = os.path.join(tmp_path, "traj.png")
+    plot_iterations(logger, p1, n_steps=4, n_dof=2)
+    plot_trajectory_joints(np.asarray(res.x).reshape(4, 2), p2)
+    assert os.path.getsize(p1) > 1000
+    assert os.path.getsize(p2) > 1000
