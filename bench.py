@@ -32,7 +32,10 @@ def main():
     from trajopt_tpu.parallel.mesh import summarize
     from __graft_entry__ import _solver_params
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    # Throughput peaks at moderate batch: larger batches amplify
+    # worst-lane drag in the vmapped while_loops (B=96: ~56/s vs B=512:
+    # ~33/s on v5e-1).
+    batch = int(os.environ.get("BENCH_BATCH", "96"))
     n_steps = 30
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
