@@ -69,6 +69,23 @@ def main():
     stats = summarize(res)
     best = min(times)
     solves_per_s = stats["converged"] / best
+
+    # Independent quality verification on a sample (collision clearance via
+    # the dense checker + goal error), so throughput tuning can't silently
+    # degrade solutions.
+    from trajopt_tpu.collision.check import check_trajectory
+    from trajopt_tpu.models.benchmarks import arm_table_problem as _p
+    _, scene = _p(n_steps=n_steps)
+    sample = np.asarray(res.x)[:8].reshape(8, n_steps, 7)
+    goals_np = np.asarray(g_r)[:8]
+    n_free = 0
+    goal_err = 0.0
+    for b in range(8):
+        ok, dmin = check_trajectory(scene, sample[b], margin=0.0, substeps=4)
+        n_free += int(ok)
+        goal_err = max(goal_err, float(np.abs(sample[b, -1] - goals_np[b]).max()))
+    print(f"# verify: {n_free}/8 sampled trajectories collision-free, "
+          f"max goal err {goal_err:.2e}", file=sys.stderr)
     out = {
         "metric": "converged 30-step 7-DOF collision-constrained SQP solves/s (1 chip)",
         "value": round(solves_per_s, 2),

@@ -145,3 +145,35 @@ def test_cart_pose_json_term():
     assert int(res.status) == SQPStatus.CONVERGED
     _, p = tree.fk(res.x.reshape(2))
     np.testing.assert_allclose(p[tree.link_id("ee_link")], target_p, atol=1e-3)
+
+
+def test_use_time_json_problem():
+    """basic_info.use_time routes joint_vel to its 1/dt variant and enables
+    total_time (arm_around_table_time.json pattern)."""
+    scene = spherebot_scene()
+    env = Environment(tree=scene.tree, scene=scene,
+                      current_state=np.array([0.0, 0.0]))
+    doc = {
+        "basic_info": {"n_steps": 4, "manip": "m", "use_time": True,
+                       "dt_lower_lim": 0.05, "dt_upper_lim": 5.0,
+                       "fixed_timesteps": [0]},
+        "costs": [
+            {"type": "total_time", "params": {"coeff": 5.0}},
+        ],
+        "constraints": [
+            {"type": "joint_vel",
+             "params": {"upper_tols": [2.0, 2.0], "lower_tols": [-2.0, -2.0]}},
+            {"type": "joint_pos",
+             "params": {"targets": [3.0, 0.0], "first_step": 3,
+                        "last_step": 3}},
+        ],
+        "init_info": {"type": "stationary", "dt": 1.0},
+    }
+    jp = construct_problem(doc, env)
+    assert jp.prob.use_time
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    m = np.asarray(res.x).reshape(4, 3)
+    np.testing.assert_allclose(m[-1, :2], [3.0, 0.0], atol=1e-3)
+    vels = np.abs(np.diff(m[:, 0]) * m[1:, 2])
+    assert np.all(vels <= 2.0 + 1e-3)

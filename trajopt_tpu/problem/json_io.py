@@ -122,9 +122,37 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
     n_steps = prob.n_steps
     kw_common = dict(n_dof_total=prob.n_dof_total, name=name)
 
+    if ttype == "total_time":
+        _ensure_only(params, {"coeff", "limit"}, where)
+        from trajopt_tpu.terms import time as time_terms
+        prob.add_term(time_terms.total_time(
+            n_steps, n_dof, is_cost=is_cost,
+            coeff=float(params.get("coeff", 1.0)),
+            limit=float(params.get("limit", 0.0)), name=name))
+        return
     if ttype in ("joint_pos", "joint_vel", "joint_acc", "joint_jerk"):
         _ensure_only(params, {"coeffs", "targets", "upper_tols", "lower_tols",
                               "first_step", "last_step", "use_time"}, where)
+        # basic_info.use_time switches supporting terms to their
+        # 1/dt-scaled variants (readCosts: term_type |= TT_USE_TIME)
+        if prob.use_time and ttype in ("joint_vel", "joint_acc"):
+            from trajopt_tpu.terms import time as time_terms
+            mk = (time_terms.joint_vel_time if ttype == "joint_vel"
+                  else time_terms.joint_acc_time)
+            kw = dict(is_cost=is_cost,
+                      coeffs=_broadcast(params.get("coeffs"), n_dof, 1.0),
+                      first_step=int(params.get("first_step", 0)),
+                      last_step=int(params.get("last_step", -1)),
+                      name=name)
+            if ttype == "joint_vel":
+                kw.update(
+                    targets=_broadcast(params.get("targets"), n_dof, 0.0),
+                    upper_tols=(_broadcast(params["upper_tols"], n_dof)
+                                if "upper_tols" in params else None),
+                    lower_tols=(_broadcast(params["lower_tols"], n_dof)
+                                if "lower_tols" in params else None))
+            prob.add_term(mk(n_steps, n_dof, **kw))
+            return
         deriv = {"joint_pos": "pos", "joint_vel": "vel",
                  "joint_acc": "acc", "joint_jerk": "jerk"}[ttype]
         prob.add_term(joint_terms.joint_term(
