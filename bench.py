@@ -70,22 +70,25 @@ def main():
     best = min(times)
     solves_per_s = stats["converged"] / best
 
-    # Independent quality verification on a sample (collision clearance via
-    # the dense checker + goal error), so throughput tuning can't silently
-    # degrade solutions.
-    from trajopt_tpu.collision.check import check_trajectory
+    # Independent quality verification on a sample (dense interpolated
+    # collision clearance + goal error) in ONE batched jitted query.
     from trajopt_tpu.models.benchmarks import arm_table_problem as _p
     _, scene = _p(n_steps=n_steps)
-    sample = np.asarray(res.x)[:8].reshape(8, n_steps, 7)
-    goals_np = np.asarray(g_r)[:8]
-    n_free = 0
-    goal_err = 0.0
-    for b in range(8):
-        ok, dmin = check_trajectory(scene, sample[b], margin=0.0, substeps=4)
-        n_free += int(ok)
-        goal_err = max(goal_err, float(np.abs(sample[b, -1] - goals_np[b]).max()))
-    print(f"# verify: {n_free}/8 sampled trajectories collision-free, "
-          f"max goal err {goal_err:.2e}", file=sys.stderr)
+    n_sample, substeps = 8, 4
+    sample = np.asarray(res.x)[:n_sample].reshape(n_sample, n_steps, 7)
+    goals_np = np.asarray(g_r)[:n_sample]
+    fr = np.linspace(0.0, 1.0, substeps, endpoint=False)
+    dense = (sample[:, :-1, None, :] +
+             fr[None, None, :, None] *
+             (sample[:, 1:, None, :] - sample[:, :-1, None, :]))
+    qs = jnp.asarray(np.concatenate(
+        [dense.reshape(-1, 7), sample[:, -1]], axis=0), jnp.float32)
+    dmins = np.asarray(jax.jit(jax.vmap(scene.distances))(qs)).min(axis=1)
+    dmins_per = dmins[: n_sample * (n_steps - 1) * substeps].reshape(n_sample, -1)
+    n_free = int((dmins_per.min(axis=1) > 0.0).sum())
+    goal_err = float(np.abs(sample[:, -1] - goals_np).max())
+    print(f"# verify: {n_free}/{n_sample} sampled trajectories "
+          f"collision-free, max goal err {goal_err:.2e}", file=sys.stderr)
     out = {
         "metric": "converged 30-step 7-DOF collision-constrained SQP solves/s (1 chip)",
         "value": round(solves_per_s, 2),

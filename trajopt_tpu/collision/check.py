@@ -15,7 +15,7 @@ from trajopt_tpu.collision.world import CollisionScene
 
 
 def check_trajectory(scene: CollisionScene, traj: np.ndarray,
-                     margin: float = 0.0, substeps: int = 20):
+                     margin: float = 0.0, substeps: int = 20, params=None):
     """Returns (ok, min_distance): ok iff every densely-interpolated state
     keeps all pair distances above `margin`."""
     traj = np.asarray(traj)
@@ -26,6 +26,6 @@ def check_trajectory(scene: CollisionScene, traj: np.ndarray,
     qs.append(traj[-1])
     dmin = np.inf
     for q in qs:
-        d = np.asarray(scene.distances(jnp.asarray(q)))
+        d = np.asarray(scene.distances(jnp.asarray(q), params))
         dmin = min(dmin, float(d.min()))
     return dmin > margin, dmin

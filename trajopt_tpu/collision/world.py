@@ -51,6 +51,9 @@ class CollGeom:
     # SDF-grid world geometry (kind == "sdf"; static only) — the octree/
     # octomap analog (see trajopt_tpu/collision/sdf_grid.py)
     grid: object = None
+    # params-dict key supplying this (static) geom's world center at solve
+    # time: enables per-problem randomized scenes under vmap
+    p_param: Optional[str] = None
 
 
 def _world_pose(g: CollGeom, tree: KinematicTree, R_links, p_links, dtype):
@@ -167,19 +170,23 @@ class CollisionScene:
         self._groups_cache = None
         return self
 
-    def add_world_box(self, name, half_extents, center, R=None):
+    def add_world_box(self, name, half_extents, center=(0, 0, 0), R=None,
+                      center_param=None):
         return self.add_geom(CollGeom(name, BOX, tuple(half_extents), link=None,
                                       R_local=np.eye(3) if R is None else np.asarray(R),
-                                      p_local=np.asarray(center, float)))
+                                      p_local=np.asarray(center, float),
+                                      p_param=center_param))
 
     def add_world_sdf(self, name, grid):
         """Arbitrary static geometry baked into an SDF voxel grid (octomap
         world analog, cast_cost_octomap_unit.cpp)."""
         return self.add_geom(CollGeom(name, SDF, (), link=None, grid=grid))
 
-    def add_world_sphere(self, name, radius, center):
+    def add_world_sphere(self, name, radius, center=(0, 0, 0),
+                         center_param=None):
         return self.add_geom(CollGeom(name, SPHERE, (float(radius),), link=None,
-                                      p_local=np.asarray(center, float)))
+                                      p_local=np.asarray(center, float),
+                                      p_param=center_param))
 
     def add_link_sphere(self, link, radius, center=(0, 0, 0), name=None):
         return self.add_geom(CollGeom(name or f"{link}_sphere", SPHERE,
@@ -256,6 +263,7 @@ class CollisionScene:
             link_ids = np.array([self.tree.link_id(g.link) if g.link else -1
                                  for g in geoms])
             return {
+                "p_params": [g.p_param for g in geoms],
                 "link": link_ids,
                 "is_static": np.array([g.link is None for g in geoms]),
                 "R": np.stack([g.R_local for g in geoms]),
@@ -277,7 +285,7 @@ class CollisionScene:
         return out
 
     @staticmethod
-    def _posed(arrs, R_links, p_links, dtype):
+    def _posed(arrs, R_links, p_links, dtype, params=None):
         """World pose + capsule endpoints for a geom-array group [P, ...]."""
         Rl = jnp.asarray(arrs["R"], dtype)
         pl_ = jnp.asarray(arrs["p"], dtype)
@@ -289,6 +297,10 @@ class CollisionScene:
         p_par = jnp.where(jnp.asarray(arrs["is_static"][:, None]),
                           jnp.zeros(3, dtype),
                           p_links[jnp.asarray(link)])
+        if params is not None:
+            for gi, key in enumerate(arrs["p_params"]):
+                if key is not None:
+                    pl_ = pl_.at[gi].set(jnp.asarray(params[key], dtype))
         R = jnp.einsum("pij,pjk->pik", R_par, Rl)
         p = jnp.einsum("pij,pj->pi", R_par, pl_) + p_par
         ea = jnp.einsum("pij,pj->pi", R, jnp.asarray(arrs["ea"], dtype)) + p
@@ -318,16 +330,17 @@ class CollisionScene:
                                                        Rb, pb, pr_b)
         raise ValueError(f"unsupported group {key}")
 
-    def distances(self, q: jax.Array) -> jax.Array:
+    def distances(self, q: jax.Array, params=None) -> jax.Array:
         """[n_pairs] signed distances at one configuration (vectorized
-        grouped narrowphase)."""
+        grouped narrowphase).  ``params`` supplies world-geom centers for
+        geoms registered with ``center_param`` (randomized scenes)."""
         dtype = q.dtype
         R, p = self.tree.fk(q)
         n = self.n_pairs
         out = jnp.zeros((n,), dtype)
         for key, idxs, a, b in self._pair_groups():
-            Ra, pa, eaa, eba = self._posed(a, R, p, dtype)
-            Rb, pb, eab, ebb = self._posed(b, R, p, dtype)
+            Ra, pa, eaa, eba = self._posed(a, R, p, dtype, params)
+            Rb, pb, eab, ebb = self._posed(b, R, p, dtype, params)
             d = self._group_distance(key, a, b, Ra, pa, eaa, eba,
                                      Rb, pb, eab, ebb, dtype)
             out = out.at[jnp.asarray(idxs)].set(d)
@@ -349,7 +362,14 @@ class CollisionScene:
             return sg.sphere_sdf_distance(gb.grid, pa, r_bound)
         raise ValueError(f"unsupported sdf pair with {ga.kind}")
 
-    def swept_distances(self, q0: jax.Array, q1: jax.Array) -> jax.Array:
+    def _geom_world_pose(self, g: CollGeom, R, p, dtype, params=None):
+        Rw, pw = _world_pose(g, self.tree, R, p, dtype)
+        if g.p_param is not None and params is not None and g.link is None:
+            pw = jnp.asarray(params[g.p_param], dtype)
+        return Rw, pw
+
+    def swept_distances(self, q0: jax.Array, q1: jax.Array,
+                        params=None) -> jax.Array:
         """[n_pairs] signed distances of geometry swept from q0 to q1
         (cast collision between two adjacent timesteps)."""
         dtype = q0.dtype
@@ -361,7 +381,7 @@ class CollisionScene:
             Ra1, pa1 = _world_pose(ga, self.tree, R1, p1, dtype)
             # world/static side evaluated at q0 pose (static anyway unless
             # attached to another moving link; then fall back to endpoint min)
-            Rb, pb = _world_pose(gb, self.tree, R0, p0, dtype)
+            Rb, pb = self._geom_world_pose(gb, R0, p0, dtype, params)
             if gb.link is not None:
                 d0 = pair_distance(ga, gb, Ra0, pa0, Rb, pb, dtype)
                 Rb1, pb1 = _world_pose(gb, self.tree, R1, p1, dtype)

@@ -112,7 +112,8 @@ def collision_term(
 
         def raw(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-            ds = jax.vmap(scene.distances)(qs[steps_arr])  # [S, n_pairs]
+            ds = jax.vmap(lambda q: scene.distances(q, params))(
+                qs[steps_arr])                             # [S, n_pairs]
             viol = jnp.asarray(coeff_full, x.dtype) * \
                 (jnp.asarray(margin_full, x.dtype) - ds)
             return select_pairs(viol).reshape(-1)
@@ -129,7 +130,8 @@ def collision_term(
 
         def jac(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-            Js = jax.vmap(jax.jacrev(scene.distances))(qs[steps_arr])
+            Js = jax.vmap(jax.jacrev(
+                lambda q: scene.distances(q, params)))(qs[steps_arr])
             Js = -Js * jnp.asarray(coeff_full, x.dtype)[None, :, None]
             J = jnp.einsum("spd,st->sptd", Js, jnp.asarray(onehot, x.dtype))
             out = jnp.zeros((S, n_pairs_full, n_steps, n_dof_total), x.dtype)
@@ -151,18 +153,18 @@ def collision_term(
         if evaluator == "lvs_discrete":
             n_sub = lvs_substeps + 1
 
-            def gap_dists(q0, q1):
-                return jnp.stack([scene.distances(q0 + f * (q1 - q0))
+            def gap_dists(q0, q1, params=None):
+                return jnp.stack([scene.distances(q0 + f * (q1 - q0), params)
                                   for f in fracs])          # [n_sub, n_pairs]
         else:  # cast: swept over each LVS sub-segment
             n_sub = lvs_substeps
 
-            def gap_dists(q0, q1):
+            def gap_dists(q0, q1, params=None):
                 ds = []
                 for k in range(lvs_substeps):
                     qa = q0 + fracs[k] * (q1 - q0)
                     qb = q0 + fracs[k + 1] * (q1 - q0)
-                    ds.append(scene.swept_distances(qa, qb))
+                    ds.append(scene.swept_distances(qa, qb, params))
                 return jnp.stack(ds)                        # [n_sub, n_pairs]
 
         n_rows = len(gaps) * n_sub * k_pairs
@@ -170,7 +172,8 @@ def collision_term(
 
         def raw(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-            ds = jax.vmap(gap_dists)(qs[gaps_arr], qs[gaps_arr + 1])
+            ds = jax.vmap(lambda a, b: gap_dists(a, b, params))(
+                qs[gaps_arr], qs[gaps_arr + 1])
             viol = jnp.asarray(coeff_full, x.dtype) * \
                 (jnp.asarray(margin_full, x.dtype) - ds)
             return select_pairs(viol).reshape(-1)
@@ -184,7 +187,8 @@ def collision_term(
 
         def jac(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-            J0, J1 = jax.vmap(jax.jacrev(gap_dists, argnums=(0, 1)))(
+            J0, J1 = jax.vmap(jax.jacrev(
+                lambda a, b: gap_dists(a, b, params), argnums=(0, 1)))(
                 qs[gaps_arr], qs[gaps_arr + 1])
             # J*: [G, n_sub, n_pairs, n_dof]
             cf = jnp.asarray(coeff_full, x.dtype)[None, None, :, None]
