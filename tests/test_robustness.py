@@ -1,0 +1,78 @@
+"""Failure-handling and determinism tests (SURVEY par. 5: per-problem
+status codes, NaN guards, determinism under batching replacing the
+reference's multithreaded re-run tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajopt_tpu.problem.trajectory import TrajOptProblem, stationary_init
+from trajopt_tpu.sqp.nlp import Kind, Nlp, TermSet
+from trajopt_tpu.sqp.params import SQPStatus
+from trajopt_tpu.sqp.solver import make_solver
+from trajopt_tpu.terms.joint import joint_pos, joint_vel
+
+INF = float("inf")
+
+
+def test_nan_cost_fails_cleanly():
+    """A term producing NaN must end in FAILED, not hang or 'converge'."""
+    def bad(x, p):
+        return jnp.array([jnp.sqrt(x[0])])  # NaN for x[0] < 0
+
+    nlp = Nlp(n=1, term_sets=(
+        TermSet("bad", Kind.COST_SQ, bad, 1),
+        TermSet("pull", Kind.CNT_EQ, lambda x, p: x + 5.0, 1),
+    ))
+    solver = make_solver(nlp)
+    res = solver(jnp.array([4.0]), jnp.full(1, -INF), jnp.full(1, INF), {})
+    # constraint pulls x negative -> NaN cost; solver must terminate with a
+    # definite status (not RUNNING) and finite iterate bookkeeping
+    assert int(res.status) != SQPStatus.RUNNING
+    assert int(res.n_iter) < 300
+
+
+def test_unsatisfiable_constraints_hit_penalty_limit():
+    nlp = Nlp(n=1, term_sets=(
+        TermSet("a", Kind.CNT_EQ, lambda x, p: x - 1.0, 1),
+        TermSet("b", Kind.CNT_EQ, lambda x, p: x + 1.0, 1),
+    ))
+    solver = make_solver(nlp)
+    res = solver(jnp.zeros(1), jnp.full(1, -INF), jnp.full(1, INF), {})
+    assert int(res.status) == SQPStatus.PENALTY_ITERATION_LIMIT
+    # merit coeffs escalated the full 5 rounds (10 * 10^5)
+    assert float(res.merit_coeffs.max()) >= 10.0 * 10.0 ** 4
+
+
+def test_batch_order_invariance():
+    """Permuting the batch permutes the results identically (determinism
+    under batching — the analog of the reference's threaded re-run
+    determinism)."""
+    n = 4
+    prob = TrajOptProblem(n_steps=n, n_dof=2, joint_lower=[-10, -10],
+                          joint_upper=[10, 10], fixed_steps=[0])
+    prob.add_term(joint_vel(n, 2, is_cost=True))
+    prob.add_term(joint_pos(n, 2, is_cost=False, targets="goal",
+                            first_step=n - 1, last_step=n - 1))
+    solve = prob.make_solve()
+    init = stationary_init(jnp.zeros(2), n)
+    goals = jnp.asarray(np.random.default_rng(1).normal(size=(6, 2)))
+    f = jax.jit(jax.vmap(lambda g: solve(init, {"goal": g})))
+    x1 = np.asarray(f(goals).x)
+    perm = np.array([3, 1, 5, 0, 4, 2])
+    x2 = np.asarray(f(goals[perm]).x)
+    np.testing.assert_allclose(x2, x1[perm], atol=1e-12)
+
+
+def test_repeat_call_bitwise_deterministic():
+    n = 4
+    prob = TrajOptProblem(n_steps=n, n_dof=2, joint_lower=[-10, -10],
+                          joint_upper=[10, 10], fixed_steps=[0])
+    prob.add_term(joint_vel(n, 2, is_cost=True))
+    prob.add_term(joint_pos(n, 2, is_cost=False, targets=np.array([1.0, 2.0]),
+                            first_step=n - 1, last_step=n - 1))
+    solve = jax.jit(prob.make_solve())
+    init = stationary_init(jnp.zeros(2), n)
+    r1 = solve(init, {})
+    r2 = solve(init, {})
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))

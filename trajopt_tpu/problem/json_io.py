@@ -241,7 +241,7 @@ def _parse_init(doc: dict, env: Environment, n_steps: int, use_time: bool):
         cur = env.current_state
         if cur is None:
             cur = np.zeros(env.tree.n_dof)
-        return stationary_init(jnp.asarray(cur, jnp.float64), n_steps, dt)
+        return stationary_init(jnp.asarray(np.asarray(cur, float)), n_steps, dt)
     if t == "given_traj":
         data = np.asarray(doc["data"], float)
         if data.shape != (n_steps, env.tree.n_dof):
@@ -253,7 +253,7 @@ def _parse_init(doc: dict, env: Environment, n_steps: int, use_time: bool):
         cur = env.current_state
         if cur is None:
             cur = np.zeros(env.tree.n_dof)
-        return interpolated_init(jnp.asarray(cur, jnp.float64),
+        return interpolated_init(jnp.asarray(np.asarray(cur, float)),
                                  jnp.asarray(end), n_steps, dt)
     raise ValueError(f"unknown init_info type {t!r}")
 
