@@ -90,12 +90,17 @@ def sphere_box(c, r, R_box, p_box, half):
     return point_box_sdf(p_local, half) - r
 
 
-def _segment_box_separation(a_l, b_l, half, n_coarse: int = 7,
-                            n_refine: int = 14):
+def _segment_box_separation(a_l, b_l, half, n_coarse: int = 17,
+                            n_refine: int = 2):
     """min over t of point_box_sdf(a + t(b-a)) — exact when the segment is
-    outside the box: coarse grid + golden-section refinement with a stopped
-    gradient on t* (envelope theorem; the outside SDF is smooth so the
-    gradient at the minimizer is exact)."""
+    outside the box (the SDF is then convex along the segment).
+
+    Latency-aware search: one PARALLEL dense sample (a single vectorized
+    op) brackets the minimum, then a couple of golden steps refine it.  A
+    long sequential golden chain would put ~14 dependent tiny ops on the
+    critical path of every narrowphase query — the dense sample costs the
+    same wall-clock as one of them on the VPU.  Gradient at the minimizer
+    is exact via the envelope theorem (stop_gradient on t*)."""
 
     def sdf_t(t):
         return point_box_sdf(a_l + t * (b_l - a_l), half)
@@ -108,18 +113,14 @@ def _segment_box_separation(a_l, b_l, half, n_coarse: int = 7,
     hi = jnp.clip(ts[i] + step, 0.0, 1.0)
 
     gr = 0.6180339887498949
-
-    def body(_, carry):
-        lo, hi = carry
+    for _ in range(n_refine):
         m1 = hi - gr * (hi - lo)
         m2 = lo + gr * (hi - lo)
         f1 = sdf_t(m1)
         f2 = sdf_t(m2)
         lo = jnp.where(f1 < f2, lo, m1)
         hi = jnp.where(f1 < f2, m2, hi)
-        return (lo, hi)
 
-    lo, hi = jax.lax.fori_loop(0, n_refine, body, (lo, hi))
     t_star = jax.lax.stop_gradient(0.5 * (lo + hi))
     return sdf_t(t_star)
 
@@ -151,7 +152,7 @@ def _segment_box_penetration(a_l, b_l, half):
     return jnp.min(jnp.stack(overlaps))
 
 
-def segment_box(a, b, R_box, p_box, half, n_coarse: int = 7, n_refine: int = 14):
+def segment_box(a, b, R_box, p_box, half, n_coarse: int = 17, n_refine: int = 2):
     """Signed distance between a segment and a box: exact separation
     distance outside, exact SAT/MTV penetration depth inside (both
     differentiable; they meet continuously at zero)."""
