@@ -91,7 +91,7 @@ def sphere_box(c, r, R_box, p_box, half):
 
 
 def _segment_box_separation(a_l, b_l, half, n_coarse: int = 17,
-                            n_refine: int = 2):
+                            n_refine: int = 8):
     """min over t of point_box_sdf(a + t(b-a)) — exact when the segment is
     outside the box (the SDF is then convex along the segment).
 
@@ -152,7 +152,7 @@ def _segment_box_penetration(a_l, b_l, half):
     return jnp.min(jnp.stack(overlaps))
 
 
-def segment_box(a, b, R_box, p_box, half, n_coarse: int = 17, n_refine: int = 2):
+def segment_box(a, b, R_box, p_box, half, n_coarse: int = 17, n_refine: int = 8):
     """Signed distance between a segment and a box: exact separation
     distance outside, exact SAT/MTV penetration depth inside (both
     differentiable; they meet continuously at zero)."""
