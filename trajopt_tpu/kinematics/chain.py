@@ -167,7 +167,10 @@ def build_tree(model: urdf_mod.UrdfModel,
     child_link = tuple(name_to_id[j.child] for j in ordered)
 
     if active_joints is None:
-        active_joints = [j.name for j in ordered if j.jtype != urdf_mod.FIXED]
+        # URDF document order (the conventional joint ordering), not the
+        # DFS traversal order used internally for FK.
+        active_joints = [j.name for j in model.joints
+                         if j.jtype != urdf_mod.FIXED]
     q_of = {n: i for i, n in enumerate(active_joints)}
     q_index = tuple(
         q_of.get(j.name, -1) if j.jtype != urdf_mod.FIXED else -1
