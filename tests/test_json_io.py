@@ -177,3 +177,62 @@ def test_use_time_json_problem():
     np.testing.assert_allclose(m[-1, :2], [3.0, 0.0], atol=1e-3)
     vels = np.abs(np.diff(m[:, 0]) * m[1:, 2])
     assert np.all(vels <= 2.0 + 1e-3)
+
+
+def test_custom_term_registry():
+    """RegisterMaker analog: user-registered term types hatch from JSON."""
+    from trajopt_tpu.problem.json_io import register_term_type
+    from trajopt_tpu.sqp.nlp import Kind, TermSet
+
+    @register_term_type("sum_to")
+    def _build(prob, env, params, is_cost, name):
+        total = float(params["total"])
+        prob.add_term(TermSet(name, Kind.CNT_EQ,
+                              lambda x, p: jnp.atleast_1d(jnp.sum(x) - total),
+                              1))
+
+    scene = spherebot_scene()
+    doc = {
+        "basic_info": {"n_steps": 1, "manip": "m"},
+        "costs": [{"type": "joint_pos",
+                   "params": {"targets": [0, 0], "first_step": 0,
+                              "last_step": 0}}],
+        "constraints": [{"type": "sum_to", "params": {"total": 1.0}}],
+    }
+    jp = construct_problem(doc, Environment(tree=scene.tree, scene=scene))
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x).sum(), 1.0, atol=1e-4)
+
+
+def test_yaml_problem_file(tmp_path):
+    import os
+    scene = spherebot_scene()
+    env = Environment(tree=scene.tree, scene=scene,
+                      current_state=np.array([0.5, 0.5]))
+    yaml_doc = """
+basic_info:
+  n_steps: 3
+  manip: m
+costs:
+  - type: joint_vel
+    params:
+      coeffs: [1, 1]
+constraints:
+  - type: joint_pos
+    params:
+      targets: [1.0, -1.0]
+      first_step: 2
+      last_step: 2
+init_info:
+  type: stationary
+"""
+    path = os.path.join(tmp_path, "prob.yaml")
+    with open(path, "w") as f:
+        f.write(yaml_doc)
+    from trajopt_tpu.problem.json_io import load_problem_file
+    jp = load_problem_file(path, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x).reshape(3, 2)[-1],
+                               [1.0, -1.0], atol=1e-3)

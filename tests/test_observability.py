@@ -65,3 +65,35 @@ def test_plotting_writes_pngs(tmp_path):
     plot_trajectory_joints(np.asarray(res.x).reshape(4, 2), p2)
     assert os.path.getsize(p1) > 1000
     assert os.path.getsize(p2) > 1000
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import os
+    from trajopt_tpu.utils.checkpoint import (
+        load_result, load_trajectories, save_result, save_trajectories)
+    import jax.numpy as jnp
+    prob = _problem()
+    res = prob.make_solve()(stationary_init(jnp.zeros(2), 4))
+    p = os.path.join(tmp_path, "ckpt.npz")
+    save_result(p, res, extra={"tag": 7})
+    res2, extra = load_result(p)
+    np.testing.assert_array_equal(np.asarray(res.x), res2.x)
+    assert int(extra["tag"]) == 7
+    p2 = os.path.join(tmp_path, "trajs.npz")
+    save_trajectories(p2, np.asarray(res.x).reshape(1, 4, 2),
+                      params={"goal": np.ones(2)})
+    trajs, params = load_trajectories(p2)
+    assert trajs.shape == (1, 4, 2)
+    np.testing.assert_allclose(params["goal"], 1.0)
+
+
+def test_timer_and_counters():
+    import jax.numpy as jnp
+    from trajopt_tpu.utils.profiling import Timer, solve_counters
+    prob = _problem()
+    solve = prob.make_solve()
+    with Timer() as t:
+        res = t.observe(solve(stationary_init(jnp.zeros(2), 4)))
+    assert t.elapsed > 0
+    c = solve_counters(res)
+    assert c["n_qp_solves"] >= 1 and c["n_func_evals"] >= 1

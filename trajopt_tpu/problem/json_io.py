@@ -38,6 +38,21 @@ from trajopt_tpu.terms.collision import collision_term
 # reference JSON (pd.cpp:1626-1638)
 _EVALUATOR_MAP = {1: "discrete", 2: "lvs_discrete", 3: "cast", 4: "cast"}
 
+# User-extensible term-type registry: the TermInfo::RegisterMaker analog
+# (problem_description.hpp:199-230).  A builder receives
+# (prob, env, params_dict, is_cost, name) and must prob.add_term(...).
+TERM_REGISTRY: dict[str, Callable] = {}
+
+
+def register_term_type(type_name: str):
+    """Decorator: register a custom JSON term type (RegisterMaker)."""
+
+    def deco(builder: Callable):
+        TERM_REGISTRY[type_name] = builder
+        return builder
+
+    return deco
+
 
 @dataclasses.dataclass
 class Environment:
@@ -73,6 +88,19 @@ def _broadcast(v, n, default=None):
     if arr.size != n:
         raise ValueError(f"expected length {n}, got {arr.size}")
     return arr
+
+
+def load_problem_file(path: str, env: Environment) -> JsonProblem:
+    """Load a problem document from .json or .yaml/.yml (the reference's
+    yaml_extensions role for problem configs)."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+        doc = yaml.safe_load(text)
+    else:
+        doc = json.loads(text)
+    return construct_problem(doc, env)
 
 
 def construct_problem(doc: dict | str, env: Environment) -> JsonProblem:
@@ -227,6 +255,8 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
             first_step=int(params.get("first_step", 0)),
             last_step=int(params.get("last_step", -1)),
             is_cost=is_cost, n_dof_total=prob.n_dof_total, name=name))
+    elif ttype in TERM_REGISTRY:
+        TERM_REGISTRY[ttype](prob, env, params, is_cost, name)
     else:
         raise ValueError(f"unknown term type {ttype!r} in {where}")
 
