@@ -19,7 +19,7 @@ from trajopt_tpu.kinematics.transforms import rotvec_from_matrix
 def test_glass_upright_solve():
     tree = arm7()
     scene = arm7_scene()
-    n = 8
+    n = 6
     tool = tree.link_id("tool0")
     R_home, p_home = tree.fk(jnp.asarray(ARM7_HOME))
     R_goal, p_goal = tree.fk(jnp.asarray(ARM7_GOAL))
