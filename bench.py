@@ -23,6 +23,11 @@ import numpy as np
 # The SQP/ADMM linear algebra needs true f32 accumulation; the TPU default
 # (bf16 MXU passes) loses the 1e-4-level tolerances the solver relies on.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the solver's nested while-loops take
+# minutes to compile; repeated bench runs reuse the executable.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 PER_CHIP_TARGET = 1000.0 / 16.0  # BASELINE.json: 1000 solves/s on v5e-16
 
