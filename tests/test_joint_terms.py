@@ -167,3 +167,14 @@ def test_batched_goal_solves():
     assert np.all(np.asarray(res.status) == SQPStatus.CONVERGED)
     final = np.asarray(res.x).reshape(3, n, d)[:, -1, :]
     np.testing.assert_allclose(final, np.asarray(goals), atol=1e-3)
+
+
+def test_build_validates_term_shapes():
+    """A term sized for the wrong n_dof_total fails fast at build()."""
+    import pytest
+    prob = TrajOptProblem(n_steps=3, n_dof=2, joint_lower=[-1, -1],
+                          joint_upper=[1, 1], use_time=True)
+    # built WITHOUT n_dof_total: expects a 3x2 matrix, problem is 3x3
+    prob.add_term(joint_vel(3, 2, is_cost=True))
+    with pytest.raises(ValueError, match="n_dof_total"):
+        prob.build()

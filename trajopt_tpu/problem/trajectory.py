@@ -51,7 +51,31 @@ class TrajOptProblem:
         return self
 
     def build(self) -> Nlp:
+        self._validate_terms()
         return Nlp(n=self.n, term_sets=tuple(self.term_sets))
+
+    def _validate_terms(self) -> None:
+        """Catch shape mistakes (e.g. a term built without n_dof_total on a
+        use_time problem) at construction instead of deep inside jit."""
+        import jax
+
+        x0 = jnp.zeros(self.n)
+        for t in self.term_sets:
+            try:
+                shape = jax.eval_shape(lambda v: t.fn(v, {}), x0).shape
+            except KeyError:
+                continue  # params-dependent term; can't probe without params
+            except Exception as e:
+                raise ValueError(
+                    f"term {t.name!r} failed to evaluate on a "
+                    f"[{self.n_steps} x {self.n_dof_total}] trajectory "
+                    f"(was it built with n_dof_total={self.n_dof_total}?)"
+                ) from e
+            n_rows = int(np.prod(shape)) if shape else 1
+            if n_rows != t.n_rows:
+                raise ValueError(
+                    f"term {t.name!r} declares {t.n_rows} rows but "
+                    f"produces {n_rows}")
 
     def bounds(self, init_traj: jax.Array) -> tuple[jax.Array, jax.Array]:
         """Variable bounds [n]: joint limits intersected with fixed pins.
