@@ -102,10 +102,16 @@ class TrajOptProblem:
             ub = ub.at[:, j].set(x0[:, j])
         return lb.reshape(-1), ub.reshape(-1)
 
-    def make_solve(self, sqp: SQPParams = SQPParams(), callback=None):
-        """Returns solve(init_traj, params) -> SQPResult (jit/vmap friendly)."""
+    def make_solve(self, sqp: SQPParams = SQPParams(), callback=None,
+                   structured: bool = False):
+        """Returns solve(init_traj, params) -> SQPResult (jit/vmap friendly).
+
+        ``structured=True`` uses the banded ADMM (step-local constraint
+        windows instead of dense A streaming) — requires banded_jac on all
+        constraint/penalty-cost sets."""
         nlp = self.build()
-        solver = make_solver(nlp, sqp=sqp, callback=callback)
+        solver = make_solver(nlp, sqp=sqp, callback=callback,
+                             structured=structured)
 
         def solve(init_traj: jax.Array, params: Any = None) -> SQPResult:
             x0 = jnp.asarray(init_traj).reshape(-1)

@@ -33,6 +33,7 @@ from typing import Any, Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = Any  # pytree of per-problem data (batched under vmap)
 
@@ -93,6 +94,12 @@ class TermSet:
     jac_fn: Callable[[jax.Array, Params], jax.Array] | None = None
     use_fwd: bool = False
     linear: bool = False
+    # Structured-QP support: (x, params) -> W [n_rows, band_width] window
+    # weights; row r covers columns band_starts[r] ... + band_width.
+    # Set for step-local terms so the ADMM can avoid dense A streaming.
+    banded_jac: Callable[[jax.Array, Params], jax.Array] | None = None
+    band_starts: "np.ndarray | None" = None
+    band_width: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -353,4 +360,137 @@ def eval_exact_cnt_viols(nlp: Nlp, x: jax.Array, params: Params) -> jax.Array:
             vals.append(jnp.sum(jnp.abs(r)))
         else:
             vals.append(jnp.sum(jnp.maximum(r, 0.0)))
+    return jnp.stack(vals) if vals else jnp.zeros((0,), x.dtype)
+
+
+# ----------------------------------------------------------------------
+# Structured (banded) convexification: used by the structured ADMM path.
+
+class StructuredModel(NamedTuple):
+    """Like ConvexModel, but constraint + penalty-cost rows are banded.
+
+    Row order: [cnt-set rows (cnt_row_structure order); abs/hinge cost rows
+    (cost_row_structure order, non-squared sets only)].
+    """
+
+    P: jax.Array
+    q: jax.Array
+    c0: jax.Array
+    W: jax.Array        # [m_rows, w] banded window weights
+    b: jax.Array        # [m_rows] residual offsets (a(x) = C x + b)
+    l: jax.Array        # [m_rows] interval lower (on a(x))
+    u: jax.Array        # [m_rows]
+    is_pen: jax.Array   # [m_rows] bool: penalty-cost row (vs cnt row)
+    pen_w: jax.Array    # [m_rows] penalty weight for cost rows (0 for cnt)
+
+
+def structured_sets(nlp: Nlp) -> list:
+    """Sets contributing banded rows, in QP row order."""
+    out = [t for t, _ in cnt_row_structure(nlp)]
+    out += [t for t, _ in cost_row_structure(nlp)
+            if t.kind in PENALTY_COST_KINDS]
+    return out
+
+
+def supports_structured(nlp: Nlp) -> bool:
+    return all(t.banded_jac is not None for t in structured_sets(nlp))
+
+
+def structured_band(nlp: Nlp) -> tuple[np.ndarray, int]:
+    """(starts [m_rows], width) of the combined banded matrix (static)."""
+    widths = [t.band_width for t in structured_sets(nlp)]
+    w = max(widths)
+    starts = np.concatenate([np.asarray(t.band_starts)
+                             for t in structured_sets(nlp)])
+    return starts, w
+
+
+def convexify_structured(nlp: Nlp, x: jax.Array, params: Params,
+                         jac_cache: dict | None = None) -> StructuredModel:
+    """Structured counterpart of convexify(): quadratic cost model plus
+    banded constraint/penalty rows (no dense A materialization)."""
+    dtype = x.dtype
+    n = nlp.n
+    starts_all, w = structured_band(nlp)
+
+    # quadratic part: reuse the dense cost-path logic (touched once/iter)
+    dense = convexify(nlp, x, params, jac_cache)
+
+    W_rows, b_rows, l_rows, u_rows, pen_rows, penw_rows = [], [], [], [], [], []
+
+    def pad_W(Wt, width):
+        if width == w:
+            return Wt
+        return jnp.concatenate(
+            [Wt, jnp.zeros((Wt.shape[0], w - width), dtype)], axis=1)
+
+    for t in structured_sets(nlp):
+        r = jnp.atleast_1d(jnp.asarray(t.fn(x, params)))
+        Wt = pad_W(t.banded_jac(x, params).astype(dtype), t.band_width)
+        # b = r - (C x)|row  computed bandedly
+        idx = np.minimum(np.asarray(t.band_starts)[:, None] + np.arange(w),
+                         n - 1)
+        cx = jnp.sum(Wt * x[jnp.asarray(idx)], axis=1)
+        b = r - cx
+        W_rows.append(Wt)
+        b_rows.append(b)
+        if t.kind is Kind.CNT_EQ:
+            l_rows.append(jnp.zeros(t.n_rows, dtype))
+            u_rows.append(jnp.zeros(t.n_rows, dtype))
+            pen_rows.append(np.zeros(t.n_rows, bool))
+            penw_rows.append(jnp.zeros(t.n_rows, dtype))
+        elif t.kind is Kind.CNT_INEQ:
+            l_rows.append(jnp.full((t.n_rows,), -jnp.inf, dtype))
+            u_rows.append(jnp.zeros(t.n_rows, dtype))
+            pen_rows.append(np.zeros(t.n_rows, bool))
+            penw_rows.append(jnp.zeros(t.n_rows, dtype))
+        else:
+            wgt = jnp.broadcast_to(jnp.asarray(t.weight_fn(params), dtype),
+                                   (t.n_rows,))
+            if t.kind is Kind.COST_ABS:
+                l_rows.append(jnp.zeros(t.n_rows, dtype))
+                u_rows.append(jnp.zeros(t.n_rows, dtype))
+            else:  # COST_HINGE
+                l_rows.append(jnp.full((t.n_rows,), -jnp.inf, dtype))
+                u_rows.append(jnp.zeros(t.n_rows, dtype))
+            pen_rows.append(np.ones(t.n_rows, bool))
+            penw_rows.append(wgt)
+
+    return StructuredModel(
+        P=dense.P, q=dense.q, c0=dense.c0,
+        W=jnp.concatenate(W_rows) if W_rows else jnp.zeros((0, w), dtype),
+        b=jnp.concatenate(b_rows) if b_rows else jnp.zeros((0,), dtype),
+        l=jnp.concatenate(l_rows) if l_rows else jnp.zeros((0,), dtype),
+        u=jnp.concatenate(u_rows) if u_rows else jnp.zeros((0,), dtype),
+        is_pen=jnp.asarray(np.concatenate(pen_rows) if pen_rows
+                           else np.zeros(0, bool)),
+        pen_w=jnp.concatenate(penw_rows) if penw_rows else jnp.zeros((0,), dtype),
+    )
+
+
+def structured_row_values(nlp: Nlp, sm: StructuredModel, x: jax.Array):
+    """a(x) = C x + b for all banded rows."""
+    starts_all, w = structured_band(nlp)
+    n = nlp.n
+    idx = np.minimum(starts_all[:, None] + np.arange(w), n - 1)
+    return jnp.sum(sm.W * x[jnp.asarray(idx)], axis=1) + sm.b
+
+
+def structured_model_cost_total(nlp: Nlp, sm: StructuredModel,
+                                x: jax.Array) -> jax.Array:
+    total = 0.5 * x @ (sm.P @ x) + sm.q @ x + sm.c0
+    a = structured_row_values(nlp, sm, x)
+    d = _interval_dist(a, sm.l, sm.u)
+    return total + jnp.sum(jnp.where(sm.is_pen, sm.pen_w * d, 0.0))
+
+
+def structured_model_cnt_viols(nlp: Nlp, sm: StructuredModel,
+                               x: jax.Array) -> jax.Array:
+    a = structured_row_values(nlp, sm, x)
+    d = _interval_dist(a, sm.l, sm.u)
+    vals = []
+    start = 0
+    for t, sl in cnt_row_structure(nlp):
+        vals.append(jnp.sum(d[start:start + t.n_rows]))
+        start += t.n_rows
     return jnp.stack(vals) if vals else jnp.zeros((0,), x.dtype)

@@ -85,6 +85,21 @@ class _TrustState(NamedTuple):
 _SHRINKING, _ACCEPTED, _CONVERGED_SMALL, _QP_FAILED = 0, 1, 2, 3
 
 
+def _structured_cnt_coeffs(nlp: Nlp, merit_coeffs: jax.Array, dtype) -> jax.Array:
+    """Merit coeffs expanded over ALL structured rows (cnt rows get their
+    set's coeff; trailing penalty-cost rows get a placeholder overwritten
+    by pen_w)."""
+    from trajopt_tpu.sqp import nlp as _nm
+    parts = [jnp.full((t.n_rows,), 1.0, dtype) * merit_coeffs[k]
+             for k, (t, _) in enumerate(_nm.cnt_row_structure(nlp))]
+    n_pen = sum(t.n_rows for t, _ in _nm.cost_row_structure(nlp)
+                if t.kind in _nm.PENALTY_COST_KINDS)
+    parts.append(jnp.zeros((n_pen,), dtype))
+    if not parts:
+        return jnp.zeros((0,), dtype)
+    return jnp.concatenate(parts)
+
+
 def _cnt_row_coeffs(nlp: Nlp, merit_coeffs: jax.Array, dtype) -> jax.Array:
     """Expand per-set merit coefficients to per-row penalty weights."""
     parts = [jnp.full((t.n_rows,), 1.0, dtype) * merit_coeffs[k]
@@ -126,7 +141,7 @@ def num_qp_rows(nlp: Nlp) -> int:
 
 
 def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
-                callback=None):
+                callback=None, structured: bool = False):
     """Build ``solve(x0, lb, ub, params) -> SQPResult`` for a fixed problem
     structure.  The returned function is jit/vmap friendly: batch problems
     by vmapping over (x0, lb, ub, params).
@@ -135,12 +150,29 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
     is invoked once per SQP iteration (the callCallbacks hook,
     optimizers.cpp:119-125); use
     :func:`trajopt_tpu.callbacks.make_iteration_callback` to run host code.
+
+    ``structured=True`` uses the banded ADMM path (qp/admm_structured.py):
+    constraint rows stream as step-local windows instead of a dense A.
+    Requires every cnt / abs-hinge-cost set to provide ``banded_jac``.
     """
 
     n = nlp.n
     n_cost = nlp.num_cost_sets
     n_cnt = nlp.num_cnt_sets
     m_total = num_qp_rows(nlp)
+    if structured:
+        if not nlp_mod.supports_structured(nlp):
+            missing = [t.name for t in nlp_mod.structured_sets(nlp)
+                       if t.banded_jac is None]
+            raise ValueError(
+                f"structured=True requires banded_jac on all constraint/"
+                f"penalty sets; missing on {missing}")
+        from trajopt_tpu.qp import banded as _bd
+        from trajopt_tpu.qp.admm_structured import (
+            StructuredQP, solve_qp_structured)
+        _starts_all, _band_w = nlp_mod.structured_band(nlp)
+        m_banded = int(_starts_all.shape[0])
+        m_total = m_banded + n
 
     def build_qp(model: ConvexModel, merit_coeffs, lb_box, ub_box, dtype) -> QPData:
         A_pen, l_pen, u_pen, c_pen = _penalty_cost_rows(nlp, model, dtype)
@@ -191,13 +223,35 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 # (setTrustBoxConstraints, optimizers.cpp:151-170).
                 lb_box = jnp.maximum(lb, state.x - ts.box_size)
                 ub_box = jnp.minimum(ub, state.x + ts.box_size)
-                qp = build_qp(model, state.merit_coeffs, lb_box, ub_box, dtype)
-                res = solve_qp(qp, ts.x, z0=ts.z, y0=ts.y, cfg=sqp.qp)
+                if structured:
+                    row_c = jnp.where(
+                        model.is_pen, model.pen_w,
+                        _structured_cnt_coeffs(nlp, state.merit_coeffs, dtype))
+                    sqp_qp = StructuredQP(
+                        P=model.P, q=model.q,
+                        C=_bd.make_banded(model.W, _starts_all, n),
+                        l=model.l - model.b, u=model.u - model.b,
+                        c=row_c, lb=lb_box, ub=ub_box)
+                    res = solve_qp_structured(
+                        sqp_qp, ts.x,
+                        zc0=ts.z[:m_banded], zb0=ts.z[m_banded:],
+                        yc0=ts.y[:m_banded], yb0=ts.y[m_banded:],
+                        cfg=sqp.qp)
+                else:
+                    qp = build_qp(model, state.merit_coeffs, lb_box, ub_box,
+                                  dtype)
+                    res = solve_qp(qp, ts.x, z0=ts.z, y0=ts.y, cfg=sqp.qp)
                 new_x = res.x
                 qp_bad = ~jnp.all(jnp.isfinite(new_x))
 
-                model_cost = nlp_mod.model_cost_total(nlp, model, new_x)
-                model_viols = nlp_mod.eval_model_cnt_viols(nlp, model, new_x)
+                if structured:
+                    model_cost = nlp_mod.structured_model_cost_total(
+                        nlp, model, new_x)
+                    model_viols = nlp_mod.structured_model_cnt_viols(
+                        nlp, model, new_x)
+                else:
+                    model_cost = nlp_mod.model_cost_total(nlp, model, new_x)
+                    model_viols = nlp_mod.eval_model_cnt_viols(nlp, model, new_x)
                 model_merit = model_cost + jnp.sum(state.merit_coeffs * model_viols)
 
                 new_cost_vals = nlp_mod.eval_exact_costs(nlp, new_x, params)
@@ -280,7 +334,11 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
             if callback is not None:
                 callback(state.total_iter, state.x, state.cost_vals,
                          state.cnt_viols, state.merit_coeffs, state.box_size)
-            model = nlp_mod.convexify(nlp, state.x, params, jac_cache)
+            if structured:
+                model = nlp_mod.convexify_structured(nlp, state.x, params,
+                                                     jac_cache)
+            else:
+                model = nlp_mod.convexify(nlp, state.x, params, jac_cache)
             ts = trust_loop(state, model)
 
             if n_cnt == 0:

@@ -128,15 +128,26 @@ def collision_term(
         onehot = np.zeros((S, n_steps), np.float64)
         onehot[np.arange(S), steps_arr] = 1.0
 
-        def jac(x, params):
+        def _step_blocks(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
             Js = jax.vmap(jax.jacrev(
                 lambda q: scene.distances(q, params)))(qs[steps_arr])
-            Js = -Js * jnp.asarray(coeff_full, x.dtype)[None, :, None]
+            return -Js * jnp.asarray(coeff_full, x.dtype)[None, :, None]
+
+        def jac(x, params):
+            Js = _step_blocks(x, params)      # [S, n_pairs, n_dof]
             J = jnp.einsum("spd,st->sptd", Js, jnp.asarray(onehot, x.dtype))
             out = jnp.zeros((S, n_pairs_full, n_steps, n_dof_total), x.dtype)
             out = out.at[..., :n_dof].set(J)
             return out.reshape(S * n_pairs_full, n_steps * n_dof_total)
+
+        band_width = n_dof_total
+        band_starts = np.repeat(steps_arr * n_dof_total, n_pairs_full)
+
+        def banded_jac(x, params):
+            Js = _step_blocks(x, params).reshape(S * n_pairs_full, n_dof)
+            W = jnp.zeros((S * n_pairs_full, band_width), x.dtype)
+            return W.at[:, :n_dof].set(Js)
 
     else:
         # Per-gap terms; a gap is skipped only when BOTH endpoints are fixed
@@ -185,26 +196,46 @@ def collision_term(
         onehot1 = np.zeros((G, n_steps), np.float64)
         onehot1[np.arange(G), gaps_arr + 1] = 1.0
 
-        def jac(x, params):
+        def _gap_blocks(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
             J0, J1 = jax.vmap(jax.jacrev(
                 lambda a, b: gap_dists(a, b, params), argnums=(0, 1)))(
                 qs[gaps_arr], qs[gaps_arr + 1])
-            # J*: [G, n_sub, n_pairs, n_dof]
             cf = jnp.asarray(coeff_full, x.dtype)[None, None, :, None]
+            return -J0 * cf, -J1 * cf      # [G, n_sub, n_pairs, n_dof] x2
+
+        def jac(x, params):
+            J0, J1 = _gap_blocks(x, params)
             oh0 = jnp.asarray(onehot0, x.dtype)
             oh1 = jnp.asarray(onehot1, x.dtype)
-            J = jnp.einsum("gkpd,gt->gkptd", -J0 * cf, oh0) + \
-                jnp.einsum("gkpd,gt->gkptd", -J1 * cf, oh1)
+            J = jnp.einsum("gkpd,gt->gkptd", J0, oh0) + \
+                jnp.einsum("gkpd,gt->gkptd", J1, oh1)
             out = jnp.zeros((G, n_sub, n_pairs_full, n_steps, n_dof_total),
                             x.dtype)
             out = out.at[..., :n_dof].set(J)
             return out.reshape(G * n_sub * n_pairs_full,
                                n_steps * n_dof_total)
 
+        band_width = 2 * n_dof_total
+        band_starts = np.repeat(gaps_arr * n_dof_total,
+                                n_sub * n_pairs_full)
+
+        def banded_jac(x, params):
+            J0, J1 = _gap_blocks(x, params)
+            m_rows = G * n_sub * n_pairs_full
+            W = jnp.zeros((m_rows, band_width), x.dtype)
+            W = W.at[:, :n_dof].set(J0.reshape(m_rows, n_dof))
+            W = W.at[:, n_dof_total:n_dof_total + n_dof].set(
+                J1.reshape(m_rows, n_dof))
+            return W
+
     # Coefficients are folded into the residual rows (reference convention:
     # constraint violations and hinge values include the coeff), so the
     # hinge weight is 1.
     jac_fn = None if topk else jac
     kind = Kind.COST_HINGE if is_cost else Kind.CNT_INEQ
-    return TermSet(name, kind, raw, n_rows, jac_fn=jac_fn)
+    if topk:
+        return TermSet(name, kind, raw, n_rows, jac_fn=None)
+    return TermSet(name, kind, raw, n_rows, jac_fn=jac_fn,
+                   banded_jac=banded_jac, band_starts=band_starts,
+                   band_width=band_width)

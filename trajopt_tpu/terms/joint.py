@@ -108,6 +108,25 @@ def joint_term(
 
     has_tols = _has_band(upper_tols) or _has_band(lower_tols)
 
+    # Banded structure (structured-QP path): row (t_rel, j) touches columns
+    # (first + t_rel + k) * n_dof_total + j for stencil taps k.
+    band_width = (span + 1) * n_dof_total
+    base_starts = np.repeat(
+        (np.arange(first, first + n_t) * n_dof_total), n_dof)
+
+    def _banded_rows(sign_coeffs):
+        """[n_t * n_dof, band_width] windows with per-dof coeffs applied."""
+        def bj(x, params):
+            c = sign_coeffs(params)                       # [n_dof]
+            W = jnp.zeros((n_t * n_dof, band_width), x.dtype)
+            j_idx = np.tile(np.arange(n_dof), n_t)
+            rows = np.arange(n_t * n_dof)
+            for k, sv in enumerate(stencil):
+                W = W.at[rows, k * n_dof_total + j_idx].set(
+                    sv * jnp.tile(c, n_t))
+            return W
+        return bj
+
     def values(x, params):
         v = _deriv_rows(x, n_steps, n_dof_total, n_dof, deriv, first, last)
         t = _resolve(targets, params, n_dof, default=np.zeros(n_dof))
@@ -130,7 +149,11 @@ def joint_term(
             c = _resolve(coeffs, params, n_dof, default=np.ones(n_dof))
             return (values(x, params) * c[None, :]).reshape(-1)
 
-        return TermSet(name, Kind.CNT_EQ, fn, n_t * n_dof, linear=True)
+        return TermSet(
+            name, Kind.CNT_EQ, fn, n_t * n_dof, linear=True,
+            banded_jac=_banded_rows(
+                lambda p: _resolve(coeffs, p, n_dof, default=np.ones(n_dof))),
+            band_starts=base_starts, band_width=band_width)
 
     # Tolerance band: two rows (upper, lower) per (t, dof), coeff-scaled.
     def fn(x, params):
@@ -143,7 +166,16 @@ def joint_term(
         return jnp.concatenate([upper_rows.reshape(-1), lower_rows.reshape(-1)])
 
     kind = Kind.COST_HINGE if is_cost else Kind.CNT_INEQ
-    return TermSet(name, kind, fn, 2 * n_t * n_dof, linear=True)
+
+    def banded_band(x, params):
+        c = _resolve(coeffs, params, n_dof, default=np.ones(n_dof))
+        up = _banded_rows(lambda p: c)(x, params)
+        return jnp.concatenate([up, -up])   # upper rows then lower rows
+
+    return TermSet(name, kind, fn, 2 * n_t * n_dof, linear=True,
+                   banded_jac=banded_band,
+                   band_starts=np.concatenate([base_starts, base_starts]),
+                   band_width=band_width)
 
 
 def _has_band(tols) -> bool:
