@@ -44,8 +44,9 @@ def main():
     n_steps = 30
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
+    structured = os.environ.get("BENCH_STRUCTURED", "0") == "1"
     prob, _ = arm_table_problem(n_steps=n_steps)
-    solve = prob.make_solve(_solver_params())
+    solve = prob.make_solve(_solver_params(), structured=structured)
     fn = jax.jit(jax.vmap(lambda i, g: solve(i, {"goal": g})))
 
     inits, goals = arm_table_batch(jax.random.PRNGKey(0), batch, n_steps)
