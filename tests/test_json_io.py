@@ -236,3 +236,40 @@ init_info:
     assert int(res.status) == SQPStatus.CONVERGED
     np.testing.assert_allclose(np.asarray(res.x).reshape(3, 2)[-1],
                                [1.0, -1.0], atol=1e-3)
+
+
+def test_convex_solver_backend_selection():
+    """basic_info.convex_solver = 'native' routes to the host reference
+    driver + C++ QP (TRAJOPT_CONVEX_SOLVER analog)."""
+    from trajopt_tpu.qp.native import available
+    if not available():
+        pytest.skip("native backend unavailable")
+    scene = spherebot_scene()
+    doc = json.loads(json.dumps(SIMPLE_COLLISION_DOC))
+    doc["basic_info"]["convex_solver"] = "native"
+    jp = construct_problem(doc, Environment(tree=scene.tree, scene=scene))
+    assert jp.backend == "native"
+    res = jp.solve()
+    assert res.status == SQPStatus.CONVERGED
+    d = float(scene.distances(jnp.asarray(res.x))[0])
+    assert d >= 0.2 - 1e-3
+
+
+def test_avoid_singularity_json_term():
+    from trajopt_tpu.models.robots import rrbot
+    tree = rrbot()
+    doc = {
+        "basic_info": {"n_steps": 1, "manip": "m"},
+        "costs": [
+            {"type": "avoid_singularity",
+             "params": {"link": "ee_link", "lambda": 1e-3, "coeffs": 2.0}},
+            {"type": "joint_pos",
+             "params": {"targets": [0.5, 0.5], "first_step": 0,
+                        "last_step": 0}},
+        ],
+        "init_info": {"type": "stationary"},
+    }
+    env = Environment(tree=tree, current_state=np.array([0.5, 0.5]))
+    jp = construct_problem(doc, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED

@@ -64,12 +64,24 @@ class Environment:
 
 
 class JsonProblem:
-    def __init__(self, prob: TrajOptProblem, init_traj, sqp: SQPParams):
+    def __init__(self, prob: TrajOptProblem, init_traj, sqp: SQPParams,
+                 backend: str = "jax"):
         self.prob = prob
         self.init_traj = init_traj
         self.sqp = sqp
+        self.backend = backend  # basic_info.convex_solver / TRAJOPT_CONVEX_SOLVER
 
     def solve(self, params: Any = None):
+        if self.backend == "native":
+            # host reference driver + native C++ QP (the reference's
+            # selectable-backend path, solver_interface.cpp:255-292)
+            import jax.numpy as jnp
+            from trajopt_tpu.sqp.reference_solver import solve_reference
+            nlp = self.prob.build()
+            x0 = jnp.asarray(self.init_traj).reshape(-1)
+            lb, ub = self.prob.bounds(x0)
+            return solve_reference(nlp, np.asarray(x0), np.asarray(lb),
+                                   np.asarray(ub), params or {}, self.sqp)
         return self.prob.make_solve(self.sqp)(self.init_traj, params or {})
 
 
@@ -137,7 +149,11 @@ def construct_problem(doc: dict | str, env: Environment) -> JsonProblem:
                             env, n_steps, use_time)
 
     sqp = _parse_opt_info(doc.get("opt_info", {}))
-    return JsonProblem(prob, init_traj, sqp)
+    import os as _os
+    backend = str(bi.get("convex_solver",
+                         _os.environ.get("TRAJOPT_CONVEX_SOLVER",
+                                         "jax"))).lower()
+    return JsonProblem(prob, init_traj, sqp, backend=backend)
 
 
 def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
@@ -246,6 +262,16 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
                 env.tree, link, n_steps, timestep, is_cost=is_cost,
                 target=(R, xyz), coeffs=coeffs,
                 n_dof_total=prob.n_dof_total, name=name))
+    elif ttype == "avoid_singularity":
+        _ensure_only(params, {"link", "lambda", "coeffs", "first_step",
+                              "last_step"}, where)
+        prob.add_term(cart_terms.avoid_singularity(
+            env.tree, params.get("link", env.tree.link_names[-1]),
+            n_steps, lambda_=float(params.get("lambda", 1e-3)),
+            coeff=float(np.asarray(params.get("coeffs", 1.0)).reshape(-1)[0]),
+            first_step=int(params.get("first_step", 0)),
+            last_step=int(params.get("last_step", -1)),
+            n_dof_total=prob.n_dof_total, name=name))
     elif ttype == "cart_vel":
         _ensure_only(params, {"first_step", "last_step", "max_displacement",
                               "link"}, where)
