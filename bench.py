@@ -121,6 +121,27 @@ def main():
         print(f"# scaling: {sh_rate:.1f} solves/s on {n_dev} devices, "
               f"efficiency {scaling_eff:.2f}", file=sys.stderr)
 
+    # Secondary metric (stderr): spherebot simple-collision solves/s — the
+    # BM_TRAJOPT_SIMPLE_COLLISION_SOLVE analog.
+    try:
+        from trajopt_tpu.models.benchmarks import simple_collision_problem
+        from trajopt_tpu.problem.trajectory import given_init
+        sprob, _ = simple_collision_problem()
+        ssolve = sprob.make_solve(_solver_params())
+        sb = 256
+        init1 = given_init(jnp.array([[-0.75, 0.75]], jnp.float32))
+        inits_s = jnp.tile(init1[None], (sb, 1, 1))
+        sf = jax.jit(jax.vmap(lambda i: ssolve(i, {})))
+        r = sf(inits_s); jax.block_until_ready(r); _ = np.asarray(r.status)
+        t0 = time.time()
+        r = sf(inits_s); jax.block_until_ready(r); _ = np.asarray(r.status)
+        t_s = time.time() - t0
+        n_conv = int((np.asarray(r.status) == 1).sum())
+        print(f"# simple_collision: {n_conv / t_s:.0f} solves/s "
+              f"({n_conv}/{sb})", file=sys.stderr)
+    except Exception as e:  # secondary metric must never break the bench
+        print(f"# simple_collision benchmark skipped: {e}", file=sys.stderr)
+
     out = {
         "metric": "converged 30-step 7-DOF collision-constrained SQP solves/s (1 chip)",
         "value": round(solves_per_s, 2),

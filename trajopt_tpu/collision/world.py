@@ -109,7 +109,7 @@ def _swept_pair_distance(ga: CollGeom, gb: CollGeom, Ra0, pa0, Ra1, pa1,
     CastCollisionEvaluator + longest_valid_segment_length).
     """
     if ga.kind == SPHERE:
-        cap = CollGeom(ga.name + "_swept", CAPSULE, ga.params)
+        # the swept sphere IS a capsule from pa0 to pa1
         a, b = pa0, pa1
         if gb.kind == SPHERE:
             return geom.sphere_capsule(pb, gb.params[0], a, b, ga.params[0])
