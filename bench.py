@@ -27,7 +27,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # minutes to compile; repeated bench runs reuse the executable.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 PER_CHIP_TARGET = 1000.0 / 16.0  # BASELINE.json: 1000 solves/s on v5e-16
 

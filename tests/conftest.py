@@ -24,4 +24,4 @@ jax.config.update("jax_enable_x64", True)
 # repeat runs reuse executables.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tests"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
