@@ -40,6 +40,28 @@ def arm7() -> KinematicTree:
     return build_tree(load_urdf(os.path.join(DATA_DIR, "arm7.urdf")))
 
 
+@functools.lru_cache
+def arm6() -> KinematicTree:
+    """6-DOF industrial-style arm (UR-class geometry)."""
+    return build_tree(load_urdf(os.path.join(DATA_DIR, "arm6.urdf")))
+
+
+def arm6_scene(shelf: bool = True) -> CollisionScene:
+    """arm6 capsule decomposition + a shelf obstacle scene."""
+    tree = arm6()
+    s = CollisionScene(tree, check_self_collision=False)
+    s.add_link_capsule("upper_arm_link", 0.06, [0, -0.13, 0.05],
+                       [0, -0.13, 0.40])
+    s.add_link_capsule("forearm_link", 0.05, [0, 0, 0.05], [0, 0, 0.37])
+    s.add_link_sphere("wrist_2_link", 0.05)
+    s.add_link_sphere("tool0", 0.04)
+    if shelf:
+        # a shelf plate the wrist must duck under when reaching across
+        s.add_world_box("shelf", [0.25, 0.25, 0.02], [0.45, 0.0, 0.55])
+        s.add_world_box("wall", [0.02, 0.4, 0.4], [0.7, 0.0, 0.45])
+    return s
+
+
 def arm7_scene(world_objects: bool = True) -> CollisionScene:
     """arm7 with a capsule decomposition of its links, optionally in the
     'table scene' (table slab + a post obstacle) used by the benchmark
