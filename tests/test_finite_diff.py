@@ -58,3 +58,19 @@ def test_fd_jacobian_term_solves():
     assert int(res.status) == SQPStatus.CONVERGED
     x = np.asarray(res.x)
     np.testing.assert_allclose(np.sin(x[0]) + x[1], 0.7, atol=1e-4)
+
+
+def test_joint_subset_mapping():
+    """getSubset / updateFromSubset / subset-jacobian expansion
+    (trajopt/utils.hpp:14-69 analog)."""
+    from trajopt_tpu.utils.joints import (
+        expand_jacobian_rows, get_subset, update_from_subset)
+    sup = ["a", "b", "c", "d"]
+    sub = ["d", "b"]
+    v = jnp.array([1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_allclose(get_subset(sup, v, sub), [4.0, 2.0])
+    out = update_from_subset(sup, v, sub, jnp.array([40.0, 20.0]))
+    np.testing.assert_allclose(out, [1.0, 20.0, 3.0, 40.0])
+    J = jnp.array([[1.0, 2.0]])
+    Je = expand_jacobian_rows(sup, sub, J)
+    np.testing.assert_allclose(Je, [[0.0, 2.0, 0.0, 1.0]])
