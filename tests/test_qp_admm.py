@@ -115,3 +115,18 @@ def test_objective_decreases_vs_start():
     x0 = jnp.ones(12)
     res = solve_qp(qp, x0, cfg=CFG)
     assert float(qp_objective(qp, res.x)) < float(qp_objective(qp, x0))
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_anderson_acceleration_matches_and_speeds(seed):
+    """Safeguarded Anderson acceleration reaches the same solution in no
+    more iterations (often far fewer on hard problems)."""
+    import dataclasses
+    qp = random_box_qp(jax.random.PRNGKey(seed))
+    base = dataclasses.replace(CFG, adaptive_rho=False)
+    plain = solve_qp(qp, jnp.zeros(12), cfg=base)
+    acc = solve_qp(qp, jnp.zeros(12),
+                   cfg=dataclasses.replace(base, anderson=5))
+    assert bool(acc.converged)
+    np.testing.assert_allclose(acc.x, plain.x, atol=1e-6)
+    assert int(acc.iters) <= int(plain.iters)
