@@ -44,7 +44,9 @@ def main():
     n_steps = 30
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
-    structured = os.environ.get("BENCH_STRUCTURED", "0") == "1"
+    # Block-banded (gather-free) structured QP path: 220 solves/s vs 78
+    # dense on v5e-1 (the ADMM iteration drops from 576us to 50us).
+    structured = os.environ.get("BENCH_STRUCTURED", "1") == "1"
     prob, _ = arm_table_problem(n_steps=n_steps)
     solve = prob.make_solve(_solver_params(), structured=structured)
     fn = jax.jit(jax.vmap(lambda i, g: solve(i, {"goal": g})))

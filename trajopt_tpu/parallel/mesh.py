@@ -30,10 +30,11 @@ def data_parallel_mesh(devices=None, axis: str = "dp") -> Mesh:
 
 
 def make_sharded_batch_solver(prob: TrajOptProblem, mesh: Mesh,
-                              sqp: SQPParams = SQPParams(), axis: str = "dp"):
+                              sqp: SQPParams = SQPParams(), axis: str = "dp",
+                              structured: bool = True):
     """Returns solve(inits [B,T,D], params pytree batched on axis 0) ->
     SQPResult sharded over the mesh.  B must divide by the mesh size."""
-    solve = prob.make_solve(sqp)
+    solve = prob.make_solve(sqp, structured=structured)
     vsolve = jax.vmap(lambda init, params: solve(init, params))
     shard = NamedSharding(mesh, P(axis))
 

@@ -52,7 +52,8 @@ class TrajOptProblem:
 
     def build(self) -> Nlp:
         self._validate_terms()
-        return Nlp(n=self.n, term_sets=tuple(self.term_sets))
+        return Nlp(n=self.n, term_sets=tuple(self.term_sets),
+                   block=(self.n_steps, self.n_dof_total))
 
     def _validate_terms(self) -> None:
         """Catch shape mistakes (e.g. a term built without n_dof_total on a

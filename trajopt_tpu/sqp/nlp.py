@@ -113,6 +113,10 @@ class Nlp:
 
     n: int
     term_sets: tuple[TermSet, ...]
+    # Optional (T, D) trajectory layout: x is T timesteps of D variables.
+    # Enables the gather-free block-banded QP path (qp/block_banded.py)
+    # when all banded row windows are step-aligned.
+    block: "tuple[int, int] | None" = None
 
     @property
     def cost_sets(self) -> tuple[TermSet, ...]:

@@ -160,6 +160,7 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
     n_cost = nlp.num_cost_sets
     n_cnt = nlp.num_cnt_sets
     m_total = num_qp_rows(nlp)
+    use_block = False
     if structured:
         if not nlp_mod.supports_structured(nlp):
             missing = [t.name for t in nlp_mod.structured_sets(nlp)
@@ -167,12 +168,27 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
             raise ValueError(
                 f"structured=True requires banded_jac on all constraint/"
                 f"penalty sets; missing on {missing}")
-        from trajopt_tpu.qp import banded as _bd
-        from trajopt_tpu.qp.admm_structured import (
-            StructuredQP, solve_qp_structured)
         _starts_all, _band_w = nlp_mod.structured_band(nlp)
         m_banded = int(_starts_all.shape[0])
         m_total = m_banded + n
+        # Prefer the gather-free block-banded path (11.6x faster ADMM
+        # iterations than dense, vs 3x SLOWER for the gather form); fall
+        # back to gather-banded when the layout isn't step-aligned.
+        if nlp.block is not None:
+            from trajopt_tpu.qp import block_banded as _bb
+            from trajopt_tpu.qp.admm_block import BlockQP, solve_qp_block
+            try:
+                _plan = _bb.make_plan(_starts_all, _band_w, nlp.block[0],
+                                      nlp.block[1])
+                use_block = True
+                m_blk = _plan.m_blk
+                m_total = m_blk + n
+            except ValueError:
+                use_block = False
+        if not use_block:
+            from trajopt_tpu.qp import banded as _bd
+            from trajopt_tpu.qp.admm_structured import (
+                StructuredQP, solve_qp_structured)
 
     def build_qp(model: ConvexModel, merit_coeffs, lb_box, ub_box, dtype) -> QPData:
         A_pen, l_pen, u_pen, c_pen = _penalty_cost_rows(nlp, model, dtype)
@@ -223,7 +239,24 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 # (setTrustBoxConstraints, optimizers.cpp:151-170).
                 lb_box = jnp.maximum(lb, state.x - ts.box_size)
                 ub_box = jnp.minimum(ub, state.x + ts.box_size)
-                if structured:
+                if structured and use_block:
+                    row_c = jnp.where(
+                        model.is_pen, model.pen_w,
+                        _structured_cnt_coeffs(nlp, state.merit_coeffs, dtype))
+                    inf = jnp.asarray(jnp.inf, dtype)
+                    blk_qp = BlockQP(
+                        P=model.P, q=model.q,
+                        C=_bb.from_rows(model.W, _plan),
+                        l=_bb.to_block(model.l - model.b, _plan, -inf),
+                        u=_bb.to_block(model.u - model.b, _plan, inf),
+                        c=_bb.to_block(row_c, _plan, 0.0),
+                        lb=lb_box, ub=ub_box)
+                    res = solve_qp_block(
+                        blk_qp, ts.x,
+                        zc0=ts.z[:m_blk], zb0=ts.z[m_blk:],
+                        yc0=ts.y[:m_blk], yb0=ts.y[m_blk:],
+                        cfg=sqp.qp)
+                elif structured:
                     row_c = jnp.where(
                         model.is_pen, model.pen_w,
                         _structured_cnt_coeffs(nlp, state.merit_coeffs, dtype))
