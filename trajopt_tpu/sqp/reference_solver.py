@@ -23,6 +23,7 @@ from trajopt_tpu.sqp import nlp as nlp_mod
 from trajopt_tpu.sqp.nlp import Nlp
 from trajopt_tpu.sqp.params import SQPParams, SQPStatus
 from trajopt_tpu.sqp.solver import _penalty_cost_rows, _cnt_row_coeffs
+from trajopt_tpu.utils.cache import LRUCache, joint_hash
 
 
 @dataclasses.dataclass
@@ -42,10 +43,18 @@ def solve_reference(nlp: Nlp, x0, lb, ub, params: Any = None,
     n = nlp.n
     n_cnt = nlp.num_cnt_sets
 
+    # Hash-keyed LRU over exact evaluations, the role the collision-result
+    # cache plays in the reference's merit loop
+    # (CollisionEvaluator::GetContactResultCached, collision_terms.cpp:440).
+    _exact_cache = LRUCache(capacity=4)
+
     def exact(xv):
-        xj = jnp.asarray(xv)
-        return (np.asarray(nlp_mod.eval_exact_costs(nlp, xj, params)),
-                np.asarray(nlp_mod.eval_exact_cnt_viols(nlp, xj, params)))
+        def compute():
+            xj = jnp.asarray(xv)
+            return (np.asarray(nlp_mod.eval_exact_costs(nlp, xj, params)),
+                    np.asarray(nlp_mod.eval_exact_cnt_viols(nlp, xj, params)))
+
+        return _exact_cache.get_or_acquire(joint_hash(xv), compute)
 
     cost_vals, cnt_viols = exact(x)
     merit_coeffs = np.full(n_cnt, sqp.initial_merit_error_coeff)
