@@ -97,3 +97,94 @@ def test_timer_and_counters():
     assert t.elapsed > 0
     c = solve_counters(res)
     assert c["n_qp_solves"] >= 1 and c["n_func_evals"] >= 1
+
+
+# ---------------------------------------------------------------- callbacks
+
+
+def _tiny_problem():
+    from trajopt_tpu.sqp.nlp import Kind, Nlp, TermSet
+    import jax.numpy as jnp
+
+    return Nlp(n=2, term_sets=(
+        TermSet(name="quad", kind=Kind.COST_SQ,
+                fn=lambda x, p: x - jnp.asarray([1.0, -1.0]), n_rows=2),
+        TermSet(name="sum", kind=Kind.CNT_INEQ,
+                fn=lambda x, p: jnp.sum(x)[None] - 10.0, n_rows=1),
+    ))
+
+
+def test_stopping_callback_aborts_solve():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trajopt_tpu.callbacks import make_stopping_callback
+    from trajopt_tpu.sqp.params import SQPStatus
+    from trajopt_tpu.sqp.solver import make_solver
+
+    nlp = _tiny_problem()
+    seen = []
+
+    def host(snap):
+        seen.append(snap.iteration)
+        return snap.iteration < 2  # abort at iteration 2
+
+    solve = make_solver(nlp, callback=make_stopping_callback(host))
+    res = solve(jnp.zeros(2), jnp.full(2, -5.0), jnp.full(2, 5.0), {})
+    assert int(res.status) == SQPStatus.STOPPED_BY_CALLBACK
+    assert int(res.n_iter) == 3          # stopped during the 3rd iteration
+    assert seen == [0, 1, 2]
+    # iterate unchanged by the aborted iteration: x is the accepted iterate
+    # of iteration 1 (not further optimized)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_wait_for_input_continue_and_abort(monkeypatch):
+    from trajopt_tpu.callbacks import IterationSnapshot, WaitForInput
+    import numpy as np
+
+    snap = IterationSnapshot(0, np.zeros(2), np.zeros(1), np.zeros(1),
+                             np.zeros(1), 0.1)
+    w = WaitForInput()
+    monkeypatch.setattr("builtins.input", lambda *_: "")
+    assert w(snap) is True
+    monkeypatch.setattr("builtins.input", lambda *_: "q")
+    assert w(snap) is False
+
+
+def test_plotter_callbacks_write_and_clear(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trajopt_tpu.callbacks import (CartesianErrorPlotter, ClearPlotter,
+                                       CollisionPlotter, IterationSnapshot,
+                                       JointStatePlotter, chain)
+    from trajopt_tpu.collision.world import CollisionScene
+    from trajopt_tpu.models.robots import spherebot
+
+    n_steps, n_dof = 4, 2
+    x = np.linspace(0.0, 1.0, n_steps * n_dof)
+    snap = IterationSnapshot(0, x, np.zeros(1), np.zeros(1), np.zeros(1), 0.1)
+
+    jp = JointStatePlotter(n_steps, n_dof, prefix=str(tmp_path / "js_"))
+    assert jp(snap) is True
+    assert (tmp_path / "js_000.png").exists()
+    assert len(jp.history) == 1
+
+    tree = spherebot()
+    scene = CollisionScene(tree)
+    scene.add_link_sphere(tree.link_names[-1], 0.2)
+    scene.add_world_box("obs", [0.3, 0.3, 0.3], center=[1.0, 0.0, 0.0])
+    cp = CollisionPlotter(scene, n_steps, n_dof,
+                          prefix=str(tmp_path / "cp_"))
+    assert cp(snap) is True
+    assert (tmp_path / "cp_000.png").exists()
+
+    ce = CartesianErrorPlotter(lambda xv: xv[:3] - 1.0,
+                               path=str(tmp_path / "cart.png"))
+    assert ce(snap) is True
+    assert (tmp_path / "cart.png").exists()
+
+    combined = chain(jp, ClearPlotter(jp))
+    assert combined(snap) is True
+    assert len(jp.history) == 0  # cleared after plotting

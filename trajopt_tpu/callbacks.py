@@ -4,10 +4,13 @@ Re-creates the reference's observability path (SURVEY.md par. 3.5):
 
 * ``callCallbacks()`` per SQP iteration (optimizers.cpp:119-125) -> a host
   callback (``jax.debug.callback``) invoked from inside the jitted solve
-  with the iteration snapshot; callbacks returning work on the host only
-  (plotting/logging), matching SQPCallback semantics minus the abort path
-  (aborting from the host would require a data-dependent exit; use
-  ``max_iter`` instead).
+  with the iteration snapshot; :func:`make_stopping_callback` additionally
+  returns an abort flag into the solve (``SQPCallback::execute -> bool``,
+  false aborts with ``SQPStatus.STOPPED_BY_CALLBACK`` — types.h:224).
+* The five reference SQPCallback classes (trajopt_sqp/callbacks/*) map to
+  :class:`JointStatePlotter`, :class:`CollisionPlotter`,
+  :class:`CartesianErrorPlotter`, :class:`ClearPlotter`,
+  :class:`WaitForInput` — host-side objects usable as ``host_fn``s.
 * ``BasicTrustRegionSQPResults::print()`` merit table
   (optimizers.cpp:428-531) -> :func:`format_merit_table`.
 * ``WriteCallback`` CSV logs (file_write_callback.cpp; trajopt_solver.log /
@@ -59,6 +62,169 @@ def make_iteration_callback(host_fn: Callable[[IterationSnapshot], None]):
                            merit_coeffs, box_size)
 
     return cb
+
+
+def make_stopping_callback(host_fn: Callable[[IterationSnapshot], bool]):
+    """Like :func:`make_iteration_callback`, but the host function's return
+    value steers the solve: returning False aborts it with
+    ``SQPStatus.STOPPED_BY_CALLBACK`` (SQPCallback::execute semantics).
+
+    Single-solve only (like the reference's interactive callbacks): the
+    io_callback return path cannot live inside a vmapped while_loop (XLA:
+    "unordered IO effects not supported with batched predicate").  Batched
+    solves should use :func:`make_iteration_callback` (logging only) and
+    bound work with max_iter."""
+    import jax.numpy as jnp
+    from jax.experimental import io_callback
+
+    def _host(iteration, x, cost_vals, cnt_viols, merit_coeffs, box_size):
+        cont = host_fn(IterationSnapshot(
+            iteration=int(iteration),
+            x=np.asarray(x),
+            cost_vals=np.asarray(cost_vals),
+            cnt_viols=np.asarray(cnt_viols),
+            merit_coeffs=np.asarray(merit_coeffs),
+            box_size=float(box_size),
+        ))
+        return np.asarray(not bool(cont))
+
+    def cb(iteration, x, cost_vals, cnt_viols, merit_coeffs, box_size):
+        return io_callback(
+            _host, jax.ShapeDtypeStruct((), jnp.bool_), iteration, x,
+            cost_vals, cnt_viols, merit_coeffs, box_size)
+
+    return cb
+
+
+class WaitForInput:
+    """Block on stdin each iteration (callbacks/wait_for_input.h); entering
+    ``q`` aborts the solve when wrapped in make_stopping_callback."""
+
+    def __init__(self, prompt: str = "Hit enter to continue (q to abort)"):
+        self.prompt = prompt
+
+    def __call__(self, snap: IterationSnapshot) -> bool:
+        return input(f"[iter {snap.iteration}] {self.prompt}: ").strip() != "q"
+
+
+class JointStatePlotter:
+    """Per-iteration joint-trajectory plot (callbacks/joint_state_plotter.h).
+
+    Writes ``<prefix><iteration>.png``; keeps the iterate history for
+    inspection/clearing."""
+
+    def __init__(self, n_steps: int, n_dof: int, prefix: str | None = None):
+        self.n_steps, self.n_dof = n_steps, n_dof
+        self.prefix = prefix
+        self.history: list[np.ndarray] = []
+
+    def clear(self) -> None:
+        self.history.clear()
+
+    def __call__(self, snap: IterationSnapshot) -> bool:
+        traj = snap.x.reshape(self.n_steps, -1)[:, :self.n_dof]
+        self.history.append(traj)
+        if self.prefix is not None:
+            import matplotlib
+            matplotlib.use("Agg", force=False)
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots()
+            for j in range(self.n_dof):
+                ax.plot(traj[:, j], label=f"j{j}")
+            ax.set_xlabel("timestep")
+            ax.set_ylabel("joint value")
+            ax.legend(fontsize=6)
+            fig.savefig(f"{self.prefix}{snap.iteration:03d}.png", dpi=60)
+            plt.close(fig)
+        return True
+
+
+class CollisionPlotter:
+    """Per-iteration contact/clearance plot (callbacks/collision_plotter.h):
+    min signed distance per timestep from the scene's narrowphase."""
+
+    def __init__(self, scene, n_steps: int, n_dof: int,
+                 prefix: str | None = None):
+        self.scene, self.n_steps, self.n_dof = scene, n_steps, n_dof
+        self.prefix = prefix
+        self.history: list[np.ndarray] = []
+
+    def clear(self) -> None:
+        self.history.clear()
+
+    def __call__(self, snap: IterationSnapshot) -> bool:
+        import jax.numpy as jnp
+        traj = snap.x.reshape(self.n_steps, -1)[:, :self.n_dof]
+        d = np.asarray(jax.vmap(self.scene.distances)(jnp.asarray(traj)))
+        min_d = d.min(axis=1)
+        self.history.append(min_d)
+        if self.prefix is not None:
+            import matplotlib
+            matplotlib.use("Agg", force=False)
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots()
+            ax.plot(min_d)
+            ax.axhline(0.0, color="r", ls="--")
+            ax.set_xlabel("timestep")
+            ax.set_ylabel("min signed distance")
+            fig.savefig(f"{self.prefix}{snap.iteration:03d}.png", dpi=60)
+            plt.close(fig)
+        return True
+
+
+class CartesianErrorPlotter:
+    """Per-iteration Cartesian error-norm trace
+    (callbacks/cartesian_error_plotter.h); err_fn(x) -> error vector."""
+
+    def __init__(self, err_fn: Callable[[np.ndarray], np.ndarray],
+                 path: str | None = None):
+        self.err_fn = err_fn
+        self.path = path
+        self.history: list[float] = []
+
+    def clear(self) -> None:
+        self.history.clear()
+
+    def __call__(self, snap: IterationSnapshot) -> bool:
+        self.history.append(float(np.linalg.norm(
+            np.asarray(self.err_fn(snap.x)))))
+        if self.path is not None:
+            import matplotlib
+            matplotlib.use("Agg", force=False)
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots()
+            ax.semilogy(self.history)
+            ax.set_xlabel("SQP iteration")
+            ax.set_ylabel("|cartesian error|")
+            fig.savefig(self.path, dpi=60)
+            plt.close(fig)
+        return True
+
+
+class ClearPlotter:
+    """Clears another plotter's accumulated state each iteration
+    (callbacks/clear_plotter.h)."""
+
+    def __init__(self, plotter):
+        self.plotter = plotter
+
+    def __call__(self, snap: IterationSnapshot) -> bool:
+        self.plotter.clear()
+        return True
+
+
+def chain(*host_fns):
+    """Compose host callbacks; the solve continues only if all agree
+    (the reference iterates its callback list and ANDs the results)."""
+
+    def run(snap: IterationSnapshot) -> bool:
+        ok = True
+        for f in host_fns:
+            r = f(snap)
+            ok = ok and (r is not False)
+        return ok
+
+    return run
 
 
 def format_merit_table(cost_names: Sequence[str], cost_vals,

@@ -100,6 +100,12 @@ class TermSet:
     banded_jac: Callable[[jax.Array, Params], jax.Array] | None = None
     band_starts: "np.ndarray | None" = None
     band_width: int = 0
+    # Fused evaluators: return (residuals, jacobian/window-weights) from ONE
+    # forward pass.  For terms whose primal is expensive (collision
+    # narrowphase, FK chains) this halves convexification cost vs calling
+    # fn + jac_fn separately.
+    val_jac_fn: "Callable[[jax.Array, Params], tuple] | None" = None
+    val_banded_jac: "Callable[[jax.Array, Params], tuple] | None" = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,16 +165,26 @@ class ConvexModel(NamedTuple):
 
 def _residual_and_jac(term: TermSet, x: jax.Array, params: Params,
                       jac_cache: dict | None = None, key: int | None = None):
-    r = term.fn(x, params)
-    r = jnp.atleast_1d(jnp.asarray(r))
     if jac_cache is not None and key in jac_cache:
-        J = jac_cache[key]
-    elif term.jac_fn is not None:
-        J = term.jac_fn(x, params)
-    elif term.use_fwd:
-        J = jax.jacfwd(lambda v: jnp.atleast_1d(term.fn(v, params)))(x)
+        return jnp.atleast_1d(jnp.asarray(term.fn(x, params))), jac_cache[key]
+    if term.val_jac_fn is not None:
+        # One forward pass produces both (the narrowphase/FK primal is the
+        # expensive part; don't run it twice).
+        r, J = term.val_jac_fn(x, params)
+        return jnp.atleast_1d(jnp.asarray(r)), J
+    if term.jac_fn is not None:
+        return (jnp.atleast_1d(jnp.asarray(term.fn(x, params))),
+                term.jac_fn(x, params))
+    f = lambda v: jnp.atleast_1d(jnp.asarray(term.fn(v, params)))  # noqa: E731
+    if term.use_fwd:
+        # linearize shares the primal across the n forward tangents
+        r, jvp_fn = jax.linearize(f, x)
+        J = jax.vmap(jvp_fn, out_axes=1)(jnp.eye(x.shape[0], dtype=x.dtype))
     else:
-        J = jax.jacrev(lambda v: jnp.atleast_1d(term.fn(v, params)))(x)
+        # vjp shares the primal across the n_rows reverse tangents
+        r, vjp_fn = jax.vjp(f, x)
+        J = jax.vmap(lambda e: vjp_fn(e)[0])(
+            jnp.eye(r.shape[0], dtype=x.dtype))
     return r, J
 
 
@@ -429,8 +445,13 @@ def convexify_structured(nlp: Nlp, x: jax.Array, params: Params,
             [Wt, jnp.zeros((Wt.shape[0], w - width), dtype)], axis=1)
 
     for t in structured_sets(nlp):
-        r = jnp.atleast_1d(jnp.asarray(t.fn(x, params)))
-        Wt = pad_W(t.banded_jac(x, params).astype(dtype), t.band_width)
+        if t.val_banded_jac is not None:
+            r, Wt = t.val_banded_jac(x, params)
+            r = jnp.atleast_1d(jnp.asarray(r))
+            Wt = pad_W(Wt.astype(dtype), t.band_width)
+        else:
+            r = jnp.atleast_1d(jnp.asarray(t.fn(x, params)))
+            Wt = pad_W(t.banded_jac(x, params).astype(dtype), t.band_width)
         # b = r - (C x)|row  computed bandedly
         idx = np.minimum(np.asarray(t.band_starts)[:, None] + np.arange(w),
                          n - 1)

@@ -27,6 +27,8 @@ class SQPStatus:
     SCO_ITERATION_LIMIT = 2
     PENALTY_ITERATION_LIMIT = 3
     FAILED = 4
+    # Callback asked to abort (kStoppedByCallback, trajopt_sqp/types.h:224)
+    STOPPED_BY_CALLBACK = 5
 
     NAMES = {
         0: "RUNNING",
@@ -34,6 +36,7 @@ class SQPStatus:
         2: "SCO_ITERATION_LIMIT",
         3: "PENALTY_ITERATION_LIMIT",
         4: "FAILED",
+        5: "STOPPED_BY_CALLBACK",
     }
 
 

@@ -364,9 +364,15 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
         jac_cache = nlp_mod.linear_jacobians(nlp, n, params, dtype)
 
         def sqp_step(state: _State) -> _State:
+            stop = None
             if callback is not None:
-                callback(state.total_iter, state.x, state.cost_vals,
-                         state.cnt_viols, state.merit_coeffs, state.box_size)
+                # SQPCallback::execute semantics: a callback may return an
+                # abort flag (False/True -> stop); plain logging callbacks
+                # return None (trajopt_sqp/sqp_callback.h; kStoppedByCallback
+                # types.h:224).
+                stop = callback(state.total_iter, state.x, state.cost_vals,
+                                state.cnt_viols, state.merit_coeffs,
+                                state.box_size)
             if structured:
                 model = nlp_mod.convexify_structured(nlp, state.x, params,
                                                      jac_cache)
@@ -426,7 +432,7 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 status,
             )
 
-            return _State(
+            new_state = _State(
                 x=ts.x,
                 cost_vals=ts.cost_vals,
                 cnt_viols=ts.cnt_viols,
@@ -442,6 +448,16 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 z=ts.z,
                 y=ts.y,
             )
+            if stop is None:
+                return new_state
+            # Abort before the step takes effect (the reference checks its
+            # callbacks at the top of the SQP iteration).
+            stopped = state._replace(
+                status=jnp.asarray(SQPStatus.STOPPED_BY_CALLBACK, jnp.int32),
+                total_iter=state.total_iter + 1,
+            )
+            pick = lambda a, b: jnp.where(stop, a, b)  # noqa: E731
+            return jax.tree.map(pick, stopped, new_state)
 
         final = jax.lax.while_loop(
             lambda s: s.status == SQPStatus.RUNNING, sqp_step, init

@@ -128,26 +128,53 @@ def collision_term(
         onehot = np.zeros((S, n_steps), np.float64)
         onehot[np.arange(S), steps_arr] = 1.0
 
-        def _step_blocks(x, params):
+        def _step_vals_blocks(x, params):
+            """ONE narrowphase pass -> (distances, scaled jac blocks); the
+            primal is shared with the Jacobian pullbacks via vjp."""
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-            Js = jax.vmap(jax.jacrev(
-                lambda q: scene.distances(q, params)))(qs[steps_arr])
-            return -Js * jnp.asarray(coeff_full, x.dtype)[None, :, None]
 
-        def jac(x, params):
-            Js = _step_blocks(x, params)      # [S, n_pairs, n_dof]
-            J = jnp.einsum("spd,st->sptd", Js, jnp.asarray(onehot, x.dtype))
-            out = jnp.zeros((S, n_pairs_full, n_steps, n_dof_total), x.dtype)
+            def one(q):
+                ds, vjp = jax.vjp(lambda qq: scene.distances(qq, params), q)
+                J = jax.vmap(lambda e: vjp(e)[0])(
+                    jnp.eye(n_pairs_full, dtype=x.dtype))
+                return ds, J
+
+            ds, Js = jax.vmap(one)(qs[steps_arr])
+            return ds, -Js * jnp.asarray(coeff_full, x.dtype)[None, :, None]
+
+        def _step_blocks(x, params):
+            return _step_vals_blocks(x, params)[1]
+
+        def _viol(ds, dtype):
+            return (jnp.asarray(coeff_full, dtype) *
+                    (jnp.asarray(margin_full, dtype) - ds))
+
+        def _scatter_jac(Js, dtype):
+            J = jnp.einsum("spd,st->sptd", Js, jnp.asarray(onehot, dtype))
+            out = jnp.zeros((S, n_pairs_full, n_steps, n_dof_total), dtype)
             out = out.at[..., :n_dof].set(J)
             return out.reshape(S * n_pairs_full, n_steps * n_dof_total)
+
+        def jac(x, params):
+            return _scatter_jac(_step_blocks(x, params), x.dtype)
+
+        def val_jac(x, params):
+            ds, Js = _step_vals_blocks(x, params)
+            return _viol(ds, x.dtype).reshape(-1), _scatter_jac(Js, x.dtype)
 
         band_width = n_dof_total
         band_starts = np.repeat(steps_arr * n_dof_total, n_pairs_full)
 
+        def _W_of(Js, dtype):
+            W = jnp.zeros((S * n_pairs_full, band_width), dtype)
+            return W.at[:, :n_dof].set(Js.reshape(S * n_pairs_full, n_dof))
+
         def banded_jac(x, params):
-            Js = _step_blocks(x, params).reshape(S * n_pairs_full, n_dof)
-            W = jnp.zeros((S * n_pairs_full, band_width), x.dtype)
-            return W.at[:, :n_dof].set(Js)
+            return _W_of(_step_blocks(x, params), x.dtype)
+
+        def val_banded_jac(x, params):
+            ds, Js = _step_vals_blocks(x, params)
+            return _viol(ds, x.dtype).reshape(-1), _W_of(Js, x.dtype)
 
     else:
         # Per-gap terms; a gap is skipped only when BOTH endpoints are fixed
@@ -196,38 +223,69 @@ def collision_term(
         onehot1 = np.zeros((G, n_steps), np.float64)
         onehot1[np.arange(G), gaps_arr + 1] = 1.0
 
-        def _gap_blocks(x, params):
+        def _gap_vals_blocks(x, params):
+            """ONE swept/LVS narrowphase pass -> (distances, jac blocks)."""
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-            J0, J1 = jax.vmap(jax.jacrev(
-                lambda a, b: gap_dists(a, b, params), argnums=(0, 1)))(
-                qs[gaps_arr], qs[gaps_arr + 1])
-            cf = jnp.asarray(coeff_full, x.dtype)[None, None, :, None]
-            return -J0 * cf, -J1 * cf      # [G, n_sub, n_pairs, n_dof] x2
 
-        def jac(x, params):
-            J0, J1 = _gap_blocks(x, params)
-            oh0 = jnp.asarray(onehot0, x.dtype)
-            oh1 = jnp.asarray(onehot1, x.dtype)
+            def one(a, b):
+                ds, vjp = jax.vjp(
+                    lambda aa, bb: gap_dists(aa, bb, params), a, b)
+                eye = jnp.eye(n_sub * n_pairs_full, dtype=x.dtype).reshape(
+                    -1, n_sub, n_pairs_full)
+                J0, J1 = jax.vmap(vjp)(eye)
+                return (ds, J0.reshape(n_sub, n_pairs_full, n_dof),
+                        J1.reshape(n_sub, n_pairs_full, n_dof))
+
+            ds, J0, J1 = jax.vmap(one)(qs[gaps_arr], qs[gaps_arr + 1])
+            cf = jnp.asarray(coeff_full, x.dtype)[None, None, :, None]
+            return ds, -J0 * cf, -J1 * cf  # [G, n_sub, n_pairs(, n_dof)]
+
+        def _gap_blocks(x, params):
+            return _gap_vals_blocks(x, params)[1:]
+
+        def _viol(ds, dtype):
+            return (jnp.asarray(coeff_full, dtype) *
+                    (jnp.asarray(margin_full, dtype) - ds))
+
+        def _scatter_jac(J0, J1, dtype):
+            oh0 = jnp.asarray(onehot0, dtype)
+            oh1 = jnp.asarray(onehot1, dtype)
             J = jnp.einsum("gkpd,gt->gkptd", J0, oh0) + \
                 jnp.einsum("gkpd,gt->gkptd", J1, oh1)
             out = jnp.zeros((G, n_sub, n_pairs_full, n_steps, n_dof_total),
-                            x.dtype)
+                            dtype)
             out = out.at[..., :n_dof].set(J)
             return out.reshape(G * n_sub * n_pairs_full,
                                n_steps * n_dof_total)
+
+        def jac(x, params):
+            J0, J1 = _gap_blocks(x, params)
+            return _scatter_jac(J0, J1, x.dtype)
+
+        def val_jac(x, params):
+            ds, J0, J1 = _gap_vals_blocks(x, params)
+            return (_viol(ds, x.dtype).reshape(-1),
+                    _scatter_jac(J0, J1, x.dtype))
 
         band_width = 2 * n_dof_total
         band_starts = np.repeat(gaps_arr * n_dof_total,
                                 n_sub * n_pairs_full)
 
-        def banded_jac(x, params):
-            J0, J1 = _gap_blocks(x, params)
+        def _W_of(J0, J1, dtype):
             m_rows = G * n_sub * n_pairs_full
-            W = jnp.zeros((m_rows, band_width), x.dtype)
+            W = jnp.zeros((m_rows, band_width), dtype)
             W = W.at[:, :n_dof].set(J0.reshape(m_rows, n_dof))
             W = W.at[:, n_dof_total:n_dof_total + n_dof].set(
                 J1.reshape(m_rows, n_dof))
             return W
+
+        def banded_jac(x, params):
+            J0, J1 = _gap_blocks(x, params)
+            return _W_of(J0, J1, x.dtype)
+
+        def val_banded_jac(x, params):
+            ds, J0, J1 = _gap_vals_blocks(x, params)
+            return _viol(ds, x.dtype).reshape(-1), _W_of(J0, J1, x.dtype)
 
     # Coefficients are folded into the residual rows (reference convention:
     # constraint violations and hinge values include the coeff), so the
@@ -238,4 +296,5 @@ def collision_term(
         return TermSet(name, kind, raw, n_rows, jac_fn=None)
     return TermSet(name, kind, raw, n_rows, jac_fn=jac_fn,
                    banded_jac=banded_jac, band_starts=band_starts,
-                   band_width=band_width)
+                   band_width=band_width, val_jac_fn=val_jac,
+                   val_banded_jac=val_banded_jac)
