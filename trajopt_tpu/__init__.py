@@ -9,6 +9,9 @@ from trajopt_tpu.collision.sdf_grid import SdfGrid, bake_sdf
 from trajopt_tpu.collision.world import CollGeom, CollisionScene, scene_from_urdf
 from trajopt_tpu.kinematics.chain import KinematicTree, build_tree
 from trajopt_tpu.kinematics.ik import solve_ik
+from trajopt_tpu.kinematics.srdf import (SrdfModel, group_state_vector,
+                                         load_srdf, parse_srdf,
+                                         resolve_group_joints)
 from trajopt_tpu.kinematics.urdf import load_urdf, parse_urdf
 from trajopt_tpu.problem.json_io import (
     Environment, construct_problem, load_problem_file, register_term_type)

@@ -163,6 +163,9 @@ class CollisionScene:
     tree: KinematicTree
     geoms: list[CollGeom] = dataclasses.field(default_factory=list)
     disabled_pairs: set[tuple[str, str]] = dataclasses.field(default_factory=set)
+    # link-level allowed-collision matrix entries (SRDF <disable_collisions>);
+    # each element is frozenset({link1, link2})
+    disabled_link_pairs: set[frozenset] = dataclasses.field(default_factory=set)
     check_self_collision: bool = True
 
     def add_geom(self, g: CollGeom) -> "CollisionScene":
@@ -225,6 +228,8 @@ class CollisionScene:
                 if not self.check_self_collision:
                     continue
                 if ga.link == gb.link or self._adjacent(ga.link, gb.link):
+                    continue
+                if frozenset((ga.link, gb.link)) in self.disabled_link_pairs:
                     continue
             if (ga.name, gb.name) in self.disabled_pairs or \
                (gb.name, ga.name) in self.disabled_pairs:
@@ -402,10 +407,16 @@ class CollisionScene:
         return jnp.stack(out)
 
 
-def scene_from_urdf(tree: KinematicTree, model: urdf_mod.UrdfModel) -> CollisionScene:
+def scene_from_urdf(tree: KinematicTree, model: urdf_mod.UrdfModel,
+                    srdf=None) -> CollisionScene:
     """Import URDF collision primitives: boxes/spheres exact, cylinders as
-    capsules (conservative end-caps)."""
+    capsules (conservative end-caps).  Passing an
+    :class:`~trajopt_tpu.kinematics.srdf.SrdfModel` seeds the link-level
+    allowed-collision matrix from its ``<disable_collisions>`` entries
+    (tesseract seeds its contact managers the same way)."""
     scene = CollisionScene(tree)
+    if srdf is not None:
+        scene.disabled_link_pairs |= srdf.disabled_link_pairs()
     for link in model.links:
         if link.name not in tree.link_names:
             continue
