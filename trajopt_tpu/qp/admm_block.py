@@ -19,7 +19,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
 
 from trajopt_tpu.qp import block_banded as bb
 from trajopt_tpu.qp.admm import ADMMConfig, ADMMResult
@@ -104,24 +103,39 @@ def _inf(v):
     return jnp.max(jnp.abs(v)) if v.size else jnp.zeros((), v.dtype)
 
 
-def solve_qp_block(qp: BlockQP, x0, zc0=None, zb0=None, yc0=None, yb0=None,
-                   cfg: ADMMConfig = ADMMConfig()) -> ADMMResult:
-    """Returns ADMMResult with z = concat([z_c (block order), z_b]), y
-    likewise.  Semantics match solve_qp_structured row-for-row after
-    block-order permutation."""
+class PreparedBlockQP(NamedTuple):
+    """Scaled QP data + factorization, valid for any trust box.
+
+    Everything here is independent of the box bounds (lb, ub): the Ruiz
+    scalings come from P/C only and M = P + sigma I + A'RA does not involve
+    bounds.  One prepare() therefore serves every QP solve of a trust-region
+    loop (the reference refactorizes per QP inside OSQP; on TPU the
+    factorization is the dominant cost, so it is hoisted — see qp/inverse.py).
+    """
+
+    sq: BlockQP          # scaled problem; its lb/ub fields are unused
+    b_diag: jax.Array
+    sc: _Scale
+    rho_c: jax.Array
+    rho_b: jax.Array
+    Minv: jax.Array
+    q_norm: jax.Array
+
+
+def prepare_qp_block(qp: BlockQP, cfg: ADMMConfig = ADMMConfig(),
+                     minv0: jax.Array | None = None) -> PreparedBlockQP:
+    """Equilibrate and factor the x-update system.
+
+    ``minv0``: optional warm seed for the inverse (the previous SQP
+    step's ``Minv``); with a seed the explicit inverse is refreshed by
+    safeguarded Newton-Schulz (batched matmuls, MXU-friendly) instead of
+    the latency-bound batched Cholesky.
+    """
+    from trajopt_tpu.qp.inverse import cholesky_inverse, ns_inverse
+
     dtype = qp.P.dtype
     n = qp.P.shape[0]
-    m = qp.C.plan.m_blk
-    orig_q = qp.q
     sq, b_diag, sc = _ruiz(qp, cfg.ruiz_iters)
-
-    x = x0.astype(dtype) / sc.D
-    zc = bb.matvec(sq.C, x) if zc0 is None else zc0.astype(dtype) * sc.E_c
-    zb = b_diag * x if zb0 is None else zb0.astype(dtype) * sc.E_b
-    yc = (jnp.zeros(m, dtype) if yc0 is None
-          else yc0.astype(dtype) * (sc.c_obj / sc.E_c))
-    yb = (jnp.zeros(n, dtype) if yb0 is None
-          else yb0.astype(dtype) * (sc.c_obj / sc.E_b))
 
     hard_c = jnp.isinf(sq.c)
     eq_c = (sq.u - sq.l) < 1e-10
@@ -131,15 +145,36 @@ def solve_qp_block(qp: BlockQP, x0, zc0=None, zb0=None, yc0=None, yb0=None,
 
     M = sq.P + cfg.sigma * jnp.eye(n, dtype=dtype) \
         + bb.at_r_a(sq.C, rho_c) + jnp.diag(rho_b * b_diag * b_diag)
-    L = jnp.linalg.cholesky(M)
-    eye = jnp.eye(n, dtype=dtype)
-    Minv = solve_triangular(L.T, solve_triangular(L, eye, lower=True),
-                            lower=False)
+    if minv0 is None:
+        Minv = cholesky_inverse(M)
+    else:
+        Minv = ns_inverse(M, minv0, tol=cfg.ns_tol, max_iter=cfg.ns_max_iter)
+    return PreparedBlockQP(sq=sq, b_diag=b_diag, sc=sc, rho_c=rho_c,
+                           rho_b=rho_b, Minv=Minv, q_norm=_inf(qp.q))
 
-    q_norm = _inf(orig_q)
+
+def solve_qp_block_prepared(prep: PreparedBlockQP, lb, ub, x0,
+                            zc0=None, zb0=None, yc0=None, yb0=None,
+                            cfg: ADMMConfig = ADMMConfig()) -> ADMMResult:
+    """ADMM iterations on a prepared (equilibrated + factored) QP with the
+    given box bounds.  Warm starts arrive unscaled (block row order)."""
+    sq_nobox, b_diag, sc = prep.sq, prep.b_diag, prep.sc
+    dtype = sq_nobox.P.dtype
+    n = sq_nobox.P.shape[0]
+    m = sq_nobox.C.plan.m_blk
+    sq = sq_nobox._replace(lb=lb * sc.E_b, ub=ub * sc.E_b)
+    rho_c, rho_b, Minv, q_norm = prep.rho_c, prep.rho_b, prep.Minv, prep.q_norm
+
+    x = x0.astype(dtype) / sc.D
+    zc = bb.matvec(sq.C, x) if zc0 is None else zc0.astype(dtype) * sc.E_c
+    zb = b_diag * x if zb0 is None else zb0.astype(dtype) * sc.E_b
+    yc = (jnp.zeros(m, dtype) if yc0 is None
+          else yc0.astype(dtype) * (sc.c_obj / sc.E_c))
+    yb = (jnp.zeros(n, dtype) if yb0 is None
+          else yb0.astype(dtype) * (sc.c_obj / sc.E_b))
     alpha = cfg.alpha
     sigma = cfg.sigma
-    cr_c = jnp.where(hard_c, jnp.inf, sq.c / rho_c)
+    cr_c = jnp.where(jnp.isinf(sq.c), jnp.inf, sq.c / rho_c)
     inf_b = jnp.full((n,), jnp.inf, dtype)
 
     def admm_iter(carry):
@@ -206,3 +241,16 @@ def solve_qp_block(qp: BlockQP, x0, zc0=None, zb0=None, yc0=None, yb0=None,
                            s.yb * (sc.E_b / sc.c_obj)]),
         iters=s.iters, pri_res=s.pri, dua_res=s.dua, converged=s.converged,
     )
+
+
+def solve_qp_block(qp: BlockQP, x0, zc0=None, zb0=None, yc0=None, yb0=None,
+                   cfg: ADMMConfig = ADMMConfig()) -> ADMMResult:
+    """One-shot prepare + solve (box bounds taken from ``qp.lb``/``qp.ub``).
+
+    Returns ADMMResult with z = concat([z_c (block order), z_b]), y
+    likewise.  Semantics match solve_qp_structured row-for-row after
+    block-order permutation."""
+    prep = prepare_qp_block(qp, cfg)
+    return solve_qp_block_prepared(prep, qp.lb, qp.ub, x0,
+                                   zc0=zc0, zb0=zb0, yc0=yc0, yb0=yb0,
+                                   cfg=cfg)

@@ -66,6 +66,8 @@ class _State(NamedTuple):
     n_func_evals: jax.Array
     z: jax.Array               # ADMM warm start
     y: jax.Array
+    minv: jax.Array            # [n, n] KKT inverse carried across SQP steps
+    #                            (Newton-Schulz seed; (0, 0) when unused)
 
 
 class _TrustState(NamedTuple):
@@ -176,7 +178,8 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
         # back to gather-banded when the layout isn't step-aligned.
         if nlp.block is not None:
             from trajopt_tpu.qp import block_banded as _bb
-            from trajopt_tpu.qp.admm_block import BlockQP, solve_qp_block
+            from trajopt_tpu.qp.admm_block import (BlockQP, prepare_qp_block,
+                                                   solve_qp_block_prepared)
             try:
                 _plan = _bb.make_plan(_starts_all, _band_w, nlp.block[0],
                                       nlp.block[1])
@@ -207,10 +210,39 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
     def merit(cost_vals, cnt_viols, merit_coeffs):
         return jnp.sum(cost_vals) + jnp.sum(merit_coeffs * cnt_viols)
 
+    def _block_prepare(model: ConvexModel, merit_coeffs, x, dtype, minv0=None):
+        """Assemble the box-independent block QP and equilibrate + factor it
+        once per SQP step (every trust-region QP of the step reuses it)."""
+        row_c = jnp.where(
+            model.is_pen, model.pen_w,
+            _structured_cnt_coeffs(nlp, merit_coeffs, dtype))
+        inf = jnp.asarray(jnp.inf, dtype)
+        blk_qp = BlockQP(
+            P=model.P, q=model.q,
+            C=_bb.from_rows(model.W, _plan),
+            l=_bb.to_block(model.l - model.b, _plan, -inf),
+            u=_bb.to_block(model.u - model.b, _plan, inf),
+            c=_bb.to_block(row_c, _plan, 0.0),
+            lb=x, ub=x)  # placeholders; real box bounds per trust iteration
+        return prepare_qp_block(blk_qp, cfg=sqp.qp, minv0=minv0)
+
     def solve(x0: jax.Array, lb: jax.Array, ub: jax.Array, params: Any) -> SQPResult:
         dtype = x0.dtype
         # getClosestFeasiblePoint (modeling.cpp:260): box-only projection.
         x0 = jnp.clip(x0, lb, ub)
+
+        jac_cache0 = nlp_mod.linear_jacobians(nlp, n, params, dtype)
+        if structured and use_block and sqp.qp.ns_refresh:
+            # Seed the carried KKT inverse with one Cholesky factorization
+            # at the initial convexification; every later SQP step refreshes
+            # it by Newton-Schulz (qp/inverse.py).
+            model0 = nlp_mod.convexify_structured(nlp, x0, params, jac_cache0)
+            minv_init = _block_prepare(
+                model0, jnp.full((n_cnt,), sqp.initial_merit_error_coeff,
+                                 dtype),
+                x0, dtype).Minv
+        else:
+            minv_init = jnp.zeros((0, 0), dtype)
 
         init = _State(
             x=x0,
@@ -226,9 +258,11 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
             n_func_evals=jnp.asarray(1, jnp.int32),
             z=jnp.zeros((m_total,), dtype),
             y=jnp.zeros((m_total,), dtype),
+            minv=minv_init,
         )
 
-        def trust_loop(state: _State, model: ConvexModel) -> _TrustState:
+        def trust_loop(state: _State, model: ConvexModel,
+                       prep=None) -> _TrustState:
             old_merit = merit(state.cost_vals, state.cnt_viols, state.merit_coeffs)
 
             def cond(ts: _TrustState):
@@ -240,19 +274,8 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 lb_box = jnp.maximum(lb, state.x - ts.box_size)
                 ub_box = jnp.minimum(ub, state.x + ts.box_size)
                 if structured and use_block:
-                    row_c = jnp.where(
-                        model.is_pen, model.pen_w,
-                        _structured_cnt_coeffs(nlp, state.merit_coeffs, dtype))
-                    inf = jnp.asarray(jnp.inf, dtype)
-                    blk_qp = BlockQP(
-                        P=model.P, q=model.q,
-                        C=_bb.from_rows(model.W, _plan),
-                        l=_bb.to_block(model.l - model.b, _plan, -inf),
-                        u=_bb.to_block(model.u - model.b, _plan, inf),
-                        c=_bb.to_block(row_c, _plan, 0.0),
-                        lb=lb_box, ub=ub_box)
-                    res = solve_qp_block(
-                        blk_qp, ts.x,
+                    res = solve_qp_block_prepared(
+                        prep, lb_box, ub_box, ts.x,
                         zc0=ts.z[:m_blk], zb0=ts.z[m_blk:],
                         yc0=ts.y[:m_blk], yb0=ts.y[m_blk:],
                         cfg=sqp.qp)
@@ -360,8 +383,9 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
             return jax.lax.while_loop(cond, body, ts0)
 
         # Constant Jacobians of affine terms, hoisted out of the loop
-        # (loop-invariant values XLA keeps resident).
-        jac_cache = nlp_mod.linear_jacobians(nlp, n, params, dtype)
+        # (loop-invariant values XLA keeps resident; XLA CSEs this with the
+        # init-time computation above).
+        jac_cache = jac_cache0
 
         def sqp_step(state: _State) -> _State:
             stop = None
@@ -378,7 +402,15 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                                                      jac_cache)
             else:
                 model = nlp_mod.convexify(nlp, state.x, params, jac_cache)
-            ts = trust_loop(state, model)
+            prep = None
+            new_minv = state.minv
+            if structured and use_block:
+                prep = _block_prepare(
+                    model, state.merit_coeffs, state.x, dtype,
+                    minv0=state.minv if sqp.qp.ns_refresh else None)
+                if sqp.qp.ns_refresh:
+                    new_minv = prep.Minv
+            ts = trust_loop(state, model, prep)
 
             if n_cnt == 0:
                 max_viol = jnp.asarray(0.0, dtype)
@@ -447,6 +479,7 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 n_func_evals=ts.n_func_evals,
                 z=ts.z,
                 y=ts.y,
+                minv=new_minv,
             )
             if stop is None:
                 return new_state
