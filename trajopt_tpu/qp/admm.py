@@ -88,9 +88,12 @@ class ADMMConfig:
     rho_min: float = 1e-6
     rho_max: float = 1e6
     ruiz_iters: int = 10  # OSQP default `scaling` passes
-    # Fuse each check_every-iteration chunk into one Pallas VMEM kernel
-    # (TPU only; see trajopt_tpu/qp/pallas_admm.py).
+    # Fuse each check_every-iteration chunk into one Pallas VMEM kernel:
+    # dense path -> trajopt_tpu/qp/pallas_admm.py (one problem/program);
+    # block-banded path -> trajopt_tpu/qp/pallas_block.py (sub-batch
+    # blocked grid; pallas_sub_batch problems per program, sized to VMEM).
     use_pallas: bool = False
+    pallas_sub_batch: int = 32
     # Newton-Schulz refresh of the explicit KKT inverse across SQP steps
     # (block-banded path only): seed the inverse with the previous step's
     # Minv and refresh with batched matmuls instead of re-running the

@@ -205,10 +205,22 @@ def solve_qp_block_prepared(prep: PreparedBlockQP, lb, ub, x0,
         converged: jax.Array
 
     def chunk(s: _State) -> _State:
-        carry = (s.x, s.zc, s.zb, s.yc, s.yb)
-        carry = jax.lax.fori_loop(0, cfg.check_every,
-                                  lambda _, c: admm_iter(c), carry)
-        x, zc, zb, yc, yb = carry
+        if cfg.use_pallas:
+            # Fused VMEM-resident chunk (Minv/Wb loaded from HBM once per
+            # chunk instead of once per iteration); numerics match the
+            # fori_loop path to float rounding (qp/pallas_block.py).
+            from trajopt_tpu.qp.pallas_block import admm_chunk_block
+            x, zc, zb, yc, yb = admm_chunk_block(
+                Minv, sq.C.Wb, sq.q, sq.l, sq.u, cr_c, rho_c, sq.lb, sq.ub,
+                b_diag, s.x, s.zc, s.zb, s.yc, s.yb,
+                plan=sq.C.plan, n_iters=cfg.check_every, sigma=cfg.sigma,
+                alpha=cfg.alpha, rho_b=cfg.rho,
+                sub_batch=cfg.pallas_sub_batch)
+        else:
+            carry = (s.x, s.zc, s.zb, s.yc, s.yb)
+            carry = jax.lax.fori_loop(0, cfg.check_every,
+                                      lambda _, c: admm_iter(c), carry)
+            x, zc, zb, yc, yb = carry
         Cx = bb.matvec(sq.C, x)
         Bx = b_diag * x
         Px = sq.P @ x

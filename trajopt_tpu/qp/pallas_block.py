@@ -1,0 +1,253 @@
+"""Pallas TPU kernel: fused block-banded ADMM chunks, sub-batch blocked.
+
+The block-banded ADMM iteration (qp/admm_block.py) is HBM-bound: every
+iteration re-streams the dense [n, n] explicit inverse Minv (~17 MB at the
+flagship B=96, n=210 shapes) plus the banded constraint blocks from HBM,
+because XLA cannot keep loop-invariant operands resident in VMEM across
+``fori_loop`` iterations.  This kernel runs a whole ``check_every``-long
+chunk of iterations as ONE ``pallas_call`` with Minv / banded weights /
+bounds pinned in VMEM, so each chunk loads the working set once instead of
+``check_every`` times.
+
+Two design points, both forced by measurement:
+
+1. BATCH BLOCKING.  One-problem-per-program (the natural vmap batching of
+   a pallas_call, and what qp/pallas_admm.py does for the dense path)
+   serializes the batch over the grid and loses the VPU's lane parallelism
+   — measured round 1 at ~0.5 ms/iteration-wave, no better than XLA.  A
+   ``custom_vmap`` rule intercepts the solver's ``vmap`` and launches a
+   grid over SUB-BATCHES of ``sub_batch`` problems; inside the kernel every
+   op is batched over the sub-batch while staying under the ~16 MB VMEM
+   budget (~0.25 MB per problem at flagship shapes).
+
+2. MOSAIC-LEGAL CONTRACTIONS.  Mosaic rejects in-kernel reshapes that
+   merge/split the minor (tiled) dims and dot_generals with >1 batch dim,
+   which rules out the [T, R, K*D]-windowed einsums of qp/block_banded.py.
+   Instead the banded matvecs are expressed as SEGMENT-SUM MATMULS against
+   constant one-hot step-indicator matrices (probed OK on v5e):
+
+       (C x)[r, t]  = sum_k ((W_k ⊙ x) @ S_k)[t]      'brj,jt->brt'
+       (C' y)[j]    = sum_k sum_r W_k[r, j] * (y_r @ S_k')[j]   'brt,tj->brj'
+
+   where W_k is slot r's window-part-k weights scattered at their absolute
+   columns and S_k[j, t] = 1 iff column j belongs to step t + k.  Rows in
+   the [R, T] slot-major layout; conversions to/from the solver's block row
+   order happen outside the kernel in XLA.
+
+Residual checks and the convergence while_loop stay outside in XLA (once
+per chunk), identical to the unfused path — the kernel replaces only the
+``fori_loop`` of iterations, so results match admm_block.py to float
+rounding.  Gated by ``ADMMConfig.use_pallas``; on non-TPU backends the
+kernel runs in interpreter mode (tests validate numerics on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.lru_cache(maxsize=32)
+def _segment_mats(T: int, D: int, K: int):
+    """S_k [K, n, T] one-hot step indicators: S_k[j, t] = 1 iff column j
+    lies in step t + k (zero where t + k >= T)."""
+    n = T * D
+    S = np.zeros((K, n, T), np.float32)
+    j_step = np.arange(n) // D
+    for k in range(K):
+        t = j_step - k
+        ok = (t >= 0) & (t < T)
+        S[k, np.arange(n)[ok], t[ok]] = 1.0
+    return S
+
+
+def _iter_chunk(S, Minv, Wk, q, lc, uc, cr, rho_c, lb, ub, b_diag,
+                x, zc, zb, yc, yb, *, T, D, K, R, sigma, alpha, rho_b,
+                n_iters):
+    """``n_iters`` relaxed prox-ADMM iterations in the kernel layout
+    (same update order as admm_block.solve_qp_block_prepared's admm_iter).
+
+    Batched over a leading axis; zc/yc/lc/uc/cr/rho_c are [*, R, T]
+    slot-major, x/zb/... are [*, n], Wk is [*, K, R, n]; S is the shared
+    [K, n, T] one-hot step-indicator stack (pallas kernels cannot capture
+    array constants, so it rides as an input).  Shared by the pallas
+    kernel body and the XLA fallback, so both paths are one code.
+    """
+    dtype = x.dtype
+    inv_rho_c = 1.0 / rho_c
+    inv_rho_b = 1.0 / rho_b
+
+    def cmatvec(v):
+        """C @ v -> [*, R, T]"""
+        out = None
+        for k in range(K):
+            zk = jnp.einsum("brj,jt->brt", Wk[:, k] * v[:, None, :], S[k],
+                            preferred_element_type=dtype)
+            out = zk if out is None else out + zk
+        return out
+
+    def crmatvec(y3):
+        """C' @ y -> [*, n]"""
+        out = None
+        for k in range(K):
+            ye = jnp.einsum("brt,tj->brj", y3, S[k].T,
+                            preferred_element_type=dtype)
+            gk = jnp.sum(Wk[:, k] * ye, axis=1)
+            out = gk if out is None else out + gk
+        return out
+
+    def body(_, carry):
+        x, zc, zb, yc, yb = carry
+        rhs = (sigma * x - q + crmatvec(rho_c * zc - yc)
+               + b_diag * (rho_b * zb - yb))
+        xt = jnp.einsum("bij,bj->bi", Minv, rhs, preferred_element_type=dtype)
+        ztc = cmatvec(xt)
+        ztb = b_diag * xt
+        x_new = alpha * xt + (1.0 - alpha) * x
+        zrc = alpha * ztc + (1.0 - alpha) * zc
+        zrb = alpha * ztb + (1.0 - alpha) * zb
+        v = zrc + yc * inv_rho_c
+        above = v > uc
+        below = v < lc
+        zc_new = jnp.where(above, jnp.maximum(uc, v - cr),
+                           jnp.where(below, jnp.minimum(lc, v + cr), v))
+        zb_new = jnp.clip(zrb + yb * inv_rho_b, lb, ub)
+        yc_new = yc + rho_c * (zrc - zc_new)
+        yb_new = yb + rho_b * (zrb - zb_new)
+        return (x_new, zc_new, zb_new, yc_new, yb_new)
+
+    return jax.lax.fori_loop(0, n_iters, body, (x, zc, zb, yc, yb))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_chunk_fn(T: int, D: int, K: int, R: int, n_iters: int,
+                    sigma: float, alpha: float, rho_b: float,
+                    sub_batch: int, interpret: bool):
+    """Cached per problem-structure + config: a custom-vmap chunk function.
+
+    Unbatched call -> plain XLA loop (identical math).  vmapped call ->
+    one pallas_call with grid over ceil(B / sub_batch) sub-batches.
+    """
+    n = T * D
+    S_np = _segment_mats(T, D, K)
+    static = dict(T=T, D=D, K=K, R=R, sigma=sigma, alpha=alpha, rho_b=rho_b,
+                  n_iters=n_iters)
+
+    def kernel(S_ref, Minv_ref, Wk_ref, q_ref, lc_ref, uc_ref, cr_ref,
+               rho_ref, lb_ref, ub_ref, bd_ref, x_ref, zc_ref, zb_ref,
+               yc_ref, yb_ref, xo_ref, zco_ref, zbo_ref, yco_ref, ybo_ref):
+        x, zc, zb, yc, yb = _iter_chunk(
+            S_ref[:], Minv_ref[:], Wk_ref[:], q_ref[:], lc_ref[:], uc_ref[:],
+            cr_ref[:], rho_ref[:], lb_ref[:], ub_ref[:], bd_ref[:],
+            x_ref[:], zc_ref[:], zb_ref[:], yc_ref[:], yb_ref[:], **static)
+        xo_ref[:] = x
+        zco_ref[:] = zc
+        zbo_ref[:] = zb
+        yco_ref[:] = yc
+        ybo_ref[:] = yb
+
+    def pallas_chunk(B, *args):
+        Bs = min(sub_batch, B)
+        nb = -(-B // Bs)
+        pad = nb * Bs - B
+        if pad:
+            def padded(a, fill):
+                return jnp.concatenate(
+                    [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+            # pad rho_c (arg 6) with 1 (it is divided by); everything else
+            # with 0 — padded lanes are discarded.
+            args = tuple(padded(a, 1.0 if i == 6 else 0.0)
+                         for i, a in enumerate(args))
+        dtype = args[0].dtype
+        S = jnp.asarray(S_np, dtype)  # shared block, pinned to index 0
+        shapes = [a.shape[1:] for a in args]
+        out_elem = [(n,), (R, T), (n,), (R, T), (n,)]
+        out = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((K, n, T), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)] +
+                     [pl.BlockSpec((Bs,) + s,
+                                   lambda i, _s=len(s): (i,) + (0,) * _s,
+                                   memory_space=pltpu.VMEM) for s in shapes],
+            out_specs=[pl.BlockSpec((Bs,) + s,
+                                    lambda i, _s=len(s): (i,) + (0,) * _s,
+                                    memory_space=pltpu.VMEM)
+                       for s in out_elem],
+            out_shape=[jax.ShapeDtypeStruct((nb * Bs,) + s, dtype)
+                       for s in out_elem],
+            interpret=interpret,
+        )(S, *args)
+        if pad:
+            out = [o[:B] for o in out]
+        return tuple(out)
+
+    @jax.custom_batching.custom_vmap
+    def chunk(Minv, Wk, q, lc, uc, cr, rho_c, lb, ub, b_diag,
+              x, zc, zb, yc, yb):
+        S = jnp.asarray(S_np, x.dtype)
+        out = _iter_chunk(S, *[a[None] for a in
+                               (Minv, Wk, q, lc, uc, cr, rho_c, lb, ub,
+                                b_diag, x, zc, zb, yc, yb)], **static)
+        return tuple(o[0] for o in out)
+
+    @chunk.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = tuple(a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                     for a, b in zip(args, in_batched))
+        return pallas_chunk(axis_size, *args), (True,) * 5
+
+    return chunk
+
+
+def pack_wk(Wb: jax.Array, plan) -> jax.Array:
+    """[T, R, K*D] banded weights -> [K, R, n] absolute-column layers.
+
+    Layer k holds window-part k's weights at columns (t + k) * D + d, i.e.
+    the slot-major flat layout shifted right by k steps (zero fill).  Runs
+    outside the kernel, once per QP solve.
+    """
+    T, D, K, R = plan.T, plan.D, plan.K, plan.R
+    n = T * D
+    layers = []
+    for k in range(K):
+        flat = jnp.transpose(Wb[:, :, k * D:(k + 1) * D],
+                             (1, 0, 2)).reshape(R, n)
+        if k:
+            flat = jnp.pad(flat, ((0, 0), (k * D, 0)))[:, :n]
+        layers.append(flat)
+    return jnp.stack(layers)
+
+
+def _to_slot_major(v: jax.Array, T: int, R: int) -> jax.Array:
+    """Block row order [T*R] -> slot-major [R, T] (outside the kernel)."""
+    return v.reshape(T, R).T
+
+
+def _from_slot_major(v3: jax.Array) -> jax.Array:
+    return v3.T.reshape(-1)
+
+
+def admm_chunk_block(Minv, Wb, q, l, u, cr, rho_c, lb, ub, b_diag,
+                     x, zc, zb, yc, yb, *, plan, n_iters: int, sigma: float,
+                     alpha: float, rho_b: float, sub_batch: int = 32):
+    """Run ``n_iters`` fused block-banded ADMM iterations (per-problem
+    call; batch via vmap — the custom batching rule launches the blocked
+    kernel).  All arrays are in the solver's scaled space; row vectors
+    arrive in block row order [T*R] and leave in the same order."""
+    interpret = jax.default_backend() != "tpu"
+    fn = _build_chunk_fn(plan.T, plan.D, plan.K, plan.R, n_iters,
+                         float(sigma), float(alpha), float(rho_b),
+                         int(sub_batch), interpret)
+    T, R = plan.T, plan.R
+    Wk = pack_wk(Wb, plan)
+    to3 = lambda v: _to_slot_major(v, T, R)  # noqa: E731
+    x, zc3, zb, yc3, yb = fn(Minv, Wk, q, to3(l), to3(u), to3(cr),
+                             to3(rho_c), lb, ub, b_diag,
+                             x, to3(zc), zb, to3(yc), yb)
+    return x, _from_slot_major(zc3), zb, _from_slot_major(yc3), yb
