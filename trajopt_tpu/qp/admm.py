@@ -102,6 +102,9 @@ class ADMMConfig:
     ns_refresh: bool = False
     ns_tol: float = 1e-5
     ns_max_iter: int = 25
+    # run early NS iterations with bf16 MXU matmuls (~4x faster), then
+    # polish at full precision — NS self-corrects, see qp/inverse.py
+    ns_coarse: bool = False
     # Anderson acceleration memory applied at chunk boundaries on the
     # (z, y/rho) fixed-point state (0 = off).  Safeguarded: if the primal
     # residual grows after an accelerated step, the step is reverted and

@@ -75,12 +75,20 @@ def _lam_max_estimate(M: jax.Array, X0: jax.Array, iters: int) -> jax.Array:
 
 def ns_inverse(M: jax.Array, X0: jax.Array, *, tol: float = 1e-5,
                max_iter: int = 25, power_iters: int = 8,
-               target: float = 1.8) -> jax.Array:
+               target: float = 1.8, coarse: bool = False,
+               coarse_tol: float = 5e-2) -> jax.Array:
     """Refresh an SPD inverse from seed ``X0`` by safeguarded Newton-Schulz.
 
     Per-problem ([n, n]); batch by ``vmap``.  Returns an approximation of
     ``M^-1`` with ``||I - M X||_F <= tol`` when converged within
     ``max_iter`` (quadratic convergence: a warm seed takes ~5-8 steps).
+
+    ``coarse=True`` runs the early iterations with default-precision
+    matmuls (bf16 MXU passes, ~4x faster on TPU) until the residual drops
+    below ``coarse_tol``, then polishes at HIGHEST precision.  NS is
+    self-correcting — each full-precision step squares the residual, so
+    the bf16 phase's ~1e-2 noise floor is erased by the polish; coarse_tol
+    sits safely above that floor.
     """
     n = M.shape[-1]
     dtype = M.dtype
@@ -93,16 +101,28 @@ def ns_inverse(M: jax.Array, X0: jax.Array, *, tol: float = 1e-5,
                     jnp.asarray(target, dtype) / (1.1 * lam))
     X = t * X0
 
-    def cond(carry):
-        _, r, k = carry
-        return (r > tol) & (k < max_iter)
+    def phase(X, phase_tol, budget, precision):
+        def cond(carry):
+            _, r, k = carry
+            return (r > phase_tol) & (k < budget)
 
-    def body(carry):
-        X, _, k = carry
-        E = eye - M @ X
-        r = jnp.linalg.norm(E)  # free by-product: no extra matmul
-        return X + X @ E, r, k + 1
+        def body(carry):
+            X, _, k = carry
+            E = eye - jnp.matmul(M, X, precision=precision)
+            r = jnp.linalg.norm(E)  # free by-product: no extra matmul
+            return X + jnp.matmul(X, E, precision=precision), r, k + 1
 
-    X, _, _ = jax.lax.while_loop(
-        cond, body, (X, jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32)))
+        X, _, k = jax.lax.while_loop(
+            cond, body,
+            (X, jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32)))
+        return X, k
+
+    if coarse:
+        # The polish keeps its own full budget: if bf16 noise floors above
+        # coarse_tol the coarse loop burns its budget without converging,
+        # and the refresh must still reach tol in f32 (measured on v5e:
+        # sharing one budget left 0 polish iterations and broke 39/96
+        # solves).
+        X, _ = phase(X, coarse_tol, max_iter, jax.lax.Precision.DEFAULT)
+    X, _ = phase(X, tol, max_iter, jax.lax.Precision.HIGHEST)
     return X

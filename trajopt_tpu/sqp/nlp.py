@@ -229,13 +229,14 @@ def cnt_row_structure(nlp: Nlp) -> list[tuple[TermSet, slice]]:
     return out
 
 
-def convexify(nlp: Nlp, x: jax.Array, params: Params,
-              jac_cache: dict | None = None) -> ConvexModel:
-    """Linearize/quadratize every term set at x.
+def _convexify_costs(nlp: Nlp, x: jax.Array, params: Params,
+                     jac_cache: dict | None, *, pen_rows: bool):
+    """Quadratize the cost sets at x -> (P, q, c0, A/b/w penalty rows).
 
-    Mirrors one 'convexifyCosts + convexifyConstraints' pass of the SQP loop
-    (``trajopt_sco/src/optimizers.cpp:781-783``) in a single batched trace.
-    ``jac_cache`` supplies hoisted constant Jacobians for linear sets.
+    ``pen_rows=False`` skips the dense Jacobians of abs/hinge cost sets —
+    the structured path re-derives those rows bandedly, so computing their
+    dense form (for collision-as-cost: a full narrowphase + dense jacobian
+    pass) would be pure duplicated work.
     """
     dtype = x.dtype
     n = nlp.n
@@ -247,6 +248,8 @@ def convexify(nlp: Nlp, x: jax.Array, params: Params,
 
     index_of = {id(t): i for i, t in enumerate(nlp.term_sets)}
     for t in nlp.cost_sets:
+        if (not pen_rows) and t.kind in (Kind.COST_ABS, Kind.COST_HINGE):
+            continue
         if t.kind in (Kind.COST_GENERIC_FULL, Kind.COST_GENERIC_DIAG):
             f = lambda v: jnp.reshape(t.fn(v, params), ())
             val = f(x)
@@ -273,6 +276,22 @@ def convexify(nlp: Nlp, x: jax.Array, params: Params,
                 P = P + 2.0 * J.T @ JW
                 q = q + 2.0 * JW.T @ b
                 c0 = c0 + jnp.sum(w * b * b)
+    return P, q, c0, A_cost_rows, b_cost_rows, w_cost_rows
+
+
+def convexify(nlp: Nlp, x: jax.Array, params: Params,
+              jac_cache: dict | None = None) -> ConvexModel:
+    """Linearize/quadratize every term set at x.
+
+    Mirrors one 'convexifyCosts + convexifyConstraints' pass of the SQP loop
+    (``trajopt_sco/src/optimizers.cpp:781-783``) in a single batched trace.
+    ``jac_cache`` supplies hoisted constant Jacobians for linear sets.
+    """
+    dtype = x.dtype
+    n = nlp.n
+    index_of = {id(t): i for i, t in enumerate(nlp.term_sets)}
+    P, q, c0, A_cost_rows, b_cost_rows, w_cost_rows = _convexify_costs(
+        nlp, x, params, jac_cache, pen_rows=True)
 
     A_cnt_rows, b_cnt_rows, l_cnt_rows, u_cnt_rows = [], [], [], []
     for t in nlp.cnt_sets:
@@ -433,8 +452,12 @@ def convexify_structured(nlp: Nlp, x: jax.Array, params: Params,
     n = nlp.n
     starts_all, w = structured_band(nlp)
 
-    # quadratic part: reuse the dense cost-path logic (touched once/iter)
-    dense = convexify(nlp, x, params, jac_cache)
+    # Quadratic part only: the banded loop below re-derives every
+    # constraint/penalty row, so the dense cnt/pen Jacobians (for
+    # collision: a whole extra narrowphase pass per SQP iteration) are
+    # skipped (pen_rows=False).
+    P, q, c0, _, _, _ = _convexify_costs(nlp, x, params, jac_cache,
+                                         pen_rows=False)
 
     W_rows, b_rows, l_rows, u_rows, pen_rows, penw_rows = [], [], [], [], [], []
 
@@ -482,7 +505,7 @@ def convexify_structured(nlp: Nlp, x: jax.Array, params: Params,
             penw_rows.append(wgt)
 
     return StructuredModel(
-        P=dense.P, q=dense.q, c0=dense.c0,
+        P=P, q=q, c0=c0,
         W=jnp.concatenate(W_rows) if W_rows else jnp.zeros((0, w), dtype),
         b=jnp.concatenate(b_rows) if b_rows else jnp.zeros((0,), dtype),
         l=jnp.concatenate(l_rows) if l_rows else jnp.zeros((0,), dtype),
