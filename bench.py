@@ -38,9 +38,10 @@ def main():
     from __graft_entry__ import _solver_params
 
     # Throughput peaks at moderate batch: larger batches amplify
-    # worst-lane drag in the vmapped while_loops (B=96: ~56/s vs B=512:
-    # ~33/s on v5e-1).
-    batch = int(os.environ.get("BENCH_BATCH", "96"))
+    # worst-lane drag in the vmapped while_loops.  Re-tuned after the
+    # Newton-Schulz + it=60/ce=20 work: B=128 546/s vs B=96 523/s vs
+    # B=192 393/s on v5e-1.
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_steps = 30
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
