@@ -25,8 +25,11 @@ import numpy as np
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: the solver's nested while-loops take
 # minutes to compile; repeated bench runs reuse the executable.
+from trajopt_tpu.utils.profiling import machine_cache_dir  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+                  os.environ.get("JAX_CACHE_DIR",
+                                 machine_cache_dir("jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 PER_CHIP_TARGET = 1000.0 / 16.0  # BASELINE.json: 1000 solves/s on v5e-16

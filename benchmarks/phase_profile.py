@@ -19,8 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))  # set before import
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 K_LO, K_HI = 2, 10

@@ -12,16 +12,27 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # Cap XLA:CPU codegen at AVX512: parts of the heterogeneous CI fleet
+    # lack the AMX feature set this jaxlib was built against (cpu_aot_loader
+    # prints feature-mismatch warnings and runs SIGILL/SIGSEGV — observed
+    # crashing the suite mid-run in round 1).
+    flags = (flags + " --xla_cpu_max_isa=AVX512").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Persistent compilation cache: the e2e solver tests are compile-dominated;
-# repeat runs reuse executables.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tests"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compilation cache on CPU: XLA:CPU AOT executable
+# serialization itself SIGSEGVs on parts of the heterogeneous CI fleet
+# (jaxlib built for different host CPU features — crashes observed in
+# both cache reads of stale entries AND cache writes, round 1).  The
+# TPU bench keeps its cache (bench.py): TPU executables are compiled
+# by the remote axon service and are host-independent.
+# Opt back in explicitly with JAX_CACHE_DIR when the host is trusted.
+if os.environ.get("JAX_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

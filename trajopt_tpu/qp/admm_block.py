@@ -159,6 +159,13 @@ def solve_qp_block_prepared(prep: PreparedBlockQP, lb, ub, x0,
                             cfg: ADMMConfig = ADMMConfig()) -> ADMMResult:
     """ADMM iterations on a prepared (equilibrated + factored) QP with the
     given box bounds.  Warm starts arrive unscaled (block row order)."""
+    if cfg.use_pallas:
+        # Fully fused path: each chunk (iterations + residual check) is one
+        # VMEM-resident pallas launch; state stays slot-major across chunks
+        # (qp/pallas_block.py).  Results match this path to float rounding.
+        from trajopt_tpu.qp.pallas_block import solve_qp_block_fused
+        return solve_qp_block_fused(prep, lb, ub, x0, zc0=zc0, zb0=zb0,
+                                    yc0=yc0, yb0=yb0, cfg=cfg)
     sq_nobox, b_diag, sc = prep.sq, prep.b_diag, prep.sc
     dtype = sq_nobox.P.dtype
     n = sq_nobox.P.shape[0]
@@ -206,22 +213,10 @@ def solve_qp_block_prepared(prep: PreparedBlockQP, lb, ub, x0,
         converged: jax.Array
 
     def chunk(s: _State) -> _State:
-        if cfg.use_pallas:
-            # Fused VMEM-resident chunk (Minv/Wb loaded from HBM once per
-            # chunk instead of once per iteration); numerics match the
-            # fori_loop path to float rounding (qp/pallas_block.py).
-            from trajopt_tpu.qp.pallas_block import admm_chunk_block
-            x, zc, zb, yc, yb = admm_chunk_block(
-                Minv, sq.C.Wb, sq.q, sq.l, sq.u, cr_c, rho_c, sq.lb, sq.ub,
-                b_diag, s.x, s.zc, s.zb, s.yc, s.yb,
-                plan=sq.C.plan, n_iters=cfg.check_every, sigma=cfg.sigma,
-                alpha=cfg.alpha, rho_b=cfg.rho,
-                sub_batch=cfg.pallas_sub_batch)
-        else:
-            carry = (s.x, s.zc, s.zb, s.yc, s.yb)
-            carry = jax.lax.fori_loop(0, cfg.check_every,
-                                      lambda _, c: admm_iter(c), carry)
-            x, zc, zb, yc, yb = carry
+        carry = (s.x, s.zc, s.zb, s.yc, s.yb)
+        carry = jax.lax.fori_loop(0, cfg.check_every,
+                                  lambda _, c: admm_iter(c), carry)
+        x, zc, zb, yc, yb = carry
         Cx = bb.matvec(sq.C, x)
         Bx = b_diag * x
         Px = sq.P @ x

@@ -124,11 +124,66 @@ def _iter_chunk(S, Minv, Wk, q, lc, uc, cr, rho_c, lb, ub, b_diag,
     return jax.lax.fori_loop(0, n_iters, body, (x, zc, zb, yc, yb))
 
 
+def _chunk_and_check(S, Minv, Wk, P, q, lc, uc, cr, rho_c, lb, ub, b_diag,
+                     Ec3, Eb, Dd, cobj, x, zc, zb, yc, yb, *,
+                     T, D, K, R, sigma, alpha, rho_b, n_iters):
+    """One fused chunk: ``n_iters`` iterations + the OSQP-style residual
+    stats (the chunk() math of admm_block.solve_qp_block_prepared).
+
+    Returns (x, zc, zb, yc, yb, pri, dua, ax_n, z_n, pAty_n) with the
+    stats as [*, 1] per-problem values (rank-1 blocks cannot be
+    sub-batch blocked); the eps comparisons (which also need q_norm)
+    happen outside.  cobj is [*, 1]; rest as in _iter_chunk.
+    """
+    dtype = x.dtype
+    x, zc, zb, yc, yb = _iter_chunk(
+        S, Minv, Wk, q, lc, uc, cr, rho_c, lb, ub, b_diag,
+        x, zc, zb, yc, yb, T=T, D=D, K=K, R=R, sigma=sigma, alpha=alpha,
+        rho_b=rho_b, n_iters=n_iters)
+
+    def cmatvec(v):
+        out = None
+        for k in range(K):
+            zk = jnp.einsum("brj,jt->brt", Wk[:, k] * v[:, None, :], S[k],
+                            preferred_element_type=dtype)
+            out = zk if out is None else out + zk
+        return out
+
+    def crmatvec(y3):
+        out = None
+        for k in range(K):
+            ye = jnp.einsum("brt,tj->brj", y3, S[k].T,
+                            preferred_element_type=dtype)
+            gk = jnp.sum(Wk[:, k] * ye, axis=1)
+            out = gk if out is None else out + gk
+        return out
+
+    def inf3(v):   # [*, R, T] -> [*, 1]  (rank-1 outputs cannot be
+        # sub-batch blocked by Mosaic, so stats stay 2D)
+        return jnp.max(jnp.max(jnp.abs(v), axis=1), axis=1, keepdims=True)
+
+    def inf2(v):   # [*, n] -> [*, 1]
+        return jnp.max(jnp.abs(v), axis=1, keepdims=True)
+
+    Cx = cmatvec(x)
+    Bx = b_diag * x
+    Px = jnp.einsum("bij,bj->bi", P, x, preferred_element_type=dtype)
+    Aty = crmatvec(yc) + b_diag * yb
+    inv_cD = 1.0 / (cobj * Dd)          # [*, n]
+    pri = jnp.maximum(inf3((Cx - zc) / Ec3), inf2((Bx - zb) / Eb))
+    dua = inf2((Px + q + Aty) * inv_cD)
+    ax_n = jnp.maximum(inf3(Cx / Ec3), inf2(Bx / Eb))
+    z_n = jnp.maximum(inf3(zc / Ec3), inf2(zb / Eb))
+    pAty_n = jnp.maximum(inf2(Px * inv_cD), inf2(Aty * inv_cD))
+    return x, zc, zb, yc, yb, pri, dua, ax_n, z_n, pAty_n
+
+
 @functools.lru_cache(maxsize=64)
 def _build_chunk_fn(T: int, D: int, K: int, R: int, n_iters: int,
                     sigma: float, alpha: float, rho_b: float,
                     sub_batch: int, interpret: bool):
-    """Cached per problem-structure + config: a custom-vmap chunk function.
+    """Cached per problem-structure + config: a custom-vmap fused
+    chunk+check function.
 
     Unbatched call -> plain XLA loop (identical math).  vmapped call ->
     one pallas_call with grid over ceil(B / sub_batch) sub-batches.
@@ -137,19 +192,16 @@ def _build_chunk_fn(T: int, D: int, K: int, R: int, n_iters: int,
     S_np = _segment_mats(T, D, K)
     static = dict(T=T, D=D, K=K, R=R, sigma=sigma, alpha=alpha, rho_b=rho_b,
                   n_iters=n_iters)
+    N_STATE, N_OUT = 5, 10
+    N_ARGS = 20  # Minv Wk P q lc uc cr rho_c lb ub bd Ec3 Eb Dd cobj
+    #            x zc zb yc yb   (S excluded)
 
-    def kernel(S_ref, Minv_ref, Wk_ref, q_ref, lc_ref, uc_ref, cr_ref,
-               rho_ref, lb_ref, ub_ref, bd_ref, x_ref, zc_ref, zb_ref,
-               yc_ref, yb_ref, xo_ref, zco_ref, zbo_ref, yco_ref, ybo_ref):
-        x, zc, zb, yc, yb = _iter_chunk(
-            S_ref[:], Minv_ref[:], Wk_ref[:], q_ref[:], lc_ref[:], uc_ref[:],
-            cr_ref[:], rho_ref[:], lb_ref[:], ub_ref[:], bd_ref[:],
-            x_ref[:], zc_ref[:], zb_ref[:], yc_ref[:], yb_ref[:], **static)
-        xo_ref[:] = x
-        zco_ref[:] = zc
-        zbo_ref[:] = zb
-        yco_ref[:] = yc
-        ybo_ref[:] = yb
+    def kernel(*refs):
+        ins = [r[:] for r in refs[:1 + N_ARGS]]
+        outs = refs[1 + N_ARGS:]
+        res = _chunk_and_check(*ins, **static)
+        for o_ref, val in zip(outs, res):
+            o_ref[:] = val
 
     def pallas_chunk(B, *args):
         Bs = min(sub_batch, B)
@@ -159,14 +211,17 @@ def _build_chunk_fn(T: int, D: int, K: int, R: int, n_iters: int,
             def padded(a, fill):
                 return jnp.concatenate(
                     [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
-            # pad rho_c (arg 6) with 1 (it is divided by); everything else
-            # with 0 — padded lanes are discarded.
-            args = tuple(padded(a, 1.0 if i == 6 else 0.0)
+            # pad rho_c and the scale vectors (divided by) with 1;
+            # everything else with 0 — padded lanes are discarded.
+            one_pad = {7, 11, 12, 13, 14}  # rho_c, Ec3, Eb, Dd, cobj
+            args = tuple(padded(a, 1.0 if i in one_pad else 0.0)
                          for i, a in enumerate(args))
         dtype = args[0].dtype
         S = jnp.asarray(S_np, dtype)  # shared block, pinned to index 0
         shapes = [a.shape[1:] for a in args]
-        out_elem = [(n,), (R, T), (n,), (R, T), (n,)]
+        out_elem = [(n,), (R, T), (n,), (R, T), (n,),
+                    (1,), (1,), (1,), (1,), (1,)]
+        out_shapes = [(nb * Bs,) + s for s in out_elem]
         out = pl.pallas_call(
             kernel,
             grid=(nb,),
@@ -179,8 +234,7 @@ def _build_chunk_fn(T: int, D: int, K: int, R: int, n_iters: int,
                                     lambda i, _s=len(s): (i,) + (0,) * _s,
                                     memory_space=pltpu.VMEM)
                        for s in out_elem],
-            out_shape=[jax.ShapeDtypeStruct((nb * Bs,) + s, dtype)
-                       for s in out_elem],
+            out_shape=[jax.ShapeDtypeStruct(s, dtype) for s in out_shapes],
             interpret=interpret,
         )(S, *args)
         if pad:
@@ -188,19 +242,16 @@ def _build_chunk_fn(T: int, D: int, K: int, R: int, n_iters: int,
         return tuple(out)
 
     @jax.custom_batching.custom_vmap
-    def chunk(Minv, Wk, q, lc, uc, cr, rho_c, lb, ub, b_diag,
-              x, zc, zb, yc, yb):
-        S = jnp.asarray(S_np, x.dtype)
-        out = _iter_chunk(S, *[a[None] for a in
-                               (Minv, Wk, q, lc, uc, cr, rho_c, lb, ub,
-                                b_diag, x, zc, zb, yc, yb)], **static)
+    def chunk(*args):
+        S = jnp.asarray(S_np, args[0].dtype)
+        out = _chunk_and_check(S, *[a[None] for a in args], **static)
         return tuple(o[0] for o in out)
 
     @chunk.def_vmap
     def _rule(axis_size, in_batched, *args):
         args = tuple(a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
                      for a, b in zip(args, in_batched))
-        return pallas_chunk(axis_size, *args), (True,) * 5
+        return pallas_chunk(axis_size, *args), (True,) * N_OUT
 
     return chunk
 
@@ -233,21 +284,86 @@ def _from_slot_major(v3: jax.Array) -> jax.Array:
     return v3.T.reshape(-1)
 
 
-def admm_chunk_block(Minv, Wb, q, l, u, cr, rho_c, lb, ub, b_diag,
-                     x, zc, zb, yc, yb, *, plan, n_iters: int, sigma: float,
-                     alpha: float, rho_b: float, sub_batch: int = 32):
-    """Run ``n_iters`` fused block-banded ADMM iterations (per-problem
-    call; batch via vmap — the custom batching rule launches the blocked
-    kernel).  All arrays are in the solver's scaled space; row vectors
-    arrive in block row order [T*R] and leave in the same order."""
+def solve_qp_block_fused(prep, lb, ub, x0, zc0=None, zb0=None, yc0=None,
+                         yb0=None, cfg=None):
+    """Fully fused counterpart of admm_block.solve_qp_block_prepared: every
+    chunk (check_every iterations + the residual check) is ONE pallas
+    launch, and the convergence while_loop carries slot-major state so no
+    layout conversions happen between chunks (the per-chunk to3/from3 +
+    separate check ops were measured to eat the kernel's 4x per-iteration
+    win).  Per-problem call; batch via vmap.  Semantics and warm-start
+    handling match solve_qp_block_prepared.
+    """
+    from typing import NamedTuple
+
+    from trajopt_tpu.qp import block_banded as bb
+    from trajopt_tpu.qp.admm import ADMMResult
+
+    sq, b_diag, sc = prep.sq, prep.b_diag, prep.sc
+    plan = sq.C.plan
+    T, D, K, R = plan.T, plan.D, plan.K, plan.R
+    n = T * D
+    m = plan.m_blk
+    dtype = sq.P.dtype
+    rho_c, Minv, q_norm = prep.rho_c, prep.Minv, prep.q_norm
+
+    lb_s = lb * sc.E_b
+    ub_s = ub * sc.E_b
+    x = x0.astype(dtype) / sc.D
+    zc = bb.matvec(sq.C, x) if zc0 is None else zc0.astype(dtype) * sc.E_c
+    zb = b_diag * x if zb0 is None else zb0.astype(dtype) * sc.E_b
+    yc = (jnp.zeros(m, dtype) if yc0 is None
+          else yc0.astype(dtype) * (sc.c_obj / sc.E_c))
+    yb = (jnp.zeros(n, dtype) if yb0 is None
+          else yb0.astype(dtype) * (sc.c_obj / sc.E_b))
+    cr_c = jnp.where(jnp.isinf(sq.c), jnp.inf, sq.c / rho_c)
+
     interpret = jax.default_backend() != "tpu"
-    fn = _build_chunk_fn(plan.T, plan.D, plan.K, plan.R, n_iters,
-                         float(sigma), float(alpha), float(rho_b),
-                         int(sub_batch), interpret)
-    T, R = plan.T, plan.R
-    Wk = pack_wk(Wb, plan)
+    fn = _build_chunk_fn(T, D, K, R, cfg.check_every, float(cfg.sigma),
+                         float(cfg.alpha), float(cfg.rho),
+                         int(cfg.pallas_sub_batch), interpret)
+    Wk = pack_wk(sq.C.Wb, plan)
     to3 = lambda v: _to_slot_major(v, T, R)  # noqa: E731
-    x, zc3, zb, yc3, yb = fn(Minv, Wk, q, to3(l), to3(u), to3(cr),
-                             to3(rho_c), lb, ub, b_diag,
-                             x, to3(zc), zb, to3(yc), yb)
-    return x, _from_slot_major(zc3), zb, _from_slot_major(yc3), yb
+    l3, u3, cr3, rho3, Ec3 = map(to3, (sq.l, sq.u, cr_c, rho_c, sc.E_c))
+    cobj1 = jnp.reshape(sc.c_obj, (1,)).astype(dtype)
+
+    class _FState(NamedTuple):
+        x: jax.Array
+        zc3: jax.Array
+        zb: jax.Array
+        yc3: jax.Array
+        yb: jax.Array
+        iters: jax.Array
+        pri: jax.Array
+        dua: jax.Array
+        converged: jax.Array
+
+    def chunk(s: _FState) -> _FState:
+        x, zc3, zb, yc3, yb, pri, dua, ax_n, z_n, pAty_n = fn(
+            Minv, Wk, sq.P, sq.q, l3, u3, cr3, rho3, lb_s, ub_s, b_diag,
+            Ec3, sc.E_b, sc.D, cobj1, s.x, s.zc3, s.zb, s.yc3, s.yb)
+        pri, dua, ax_n, z_n, pAty_n = (v[0] for v in
+                                       (pri, dua, ax_n, z_n, pAty_n))
+        eps_pri = cfg.eps_abs + cfg.eps_rel * jnp.maximum(ax_n, z_n)
+        eps_dua = cfg.eps_abs + cfg.eps_rel * jnp.maximum(pAty_n, q_norm)
+        conv = (pri <= eps_pri) & (dua <= eps_dua)
+        return _FState(x=x, zc3=zc3, zb=zb, yc3=yc3, yb=yb,
+                       iters=s.iters + cfg.check_every,
+                       pri=pri, dua=dua, converged=conv)
+
+    init = _FState(x=x, zc3=to3(zc), zb=zb, yc3=to3(yc), yb=yb,
+                   iters=jnp.asarray(0, jnp.int32),
+                   pri=jnp.asarray(jnp.inf, dtype),
+                   dua=jnp.asarray(jnp.inf, dtype),
+                   converged=jnp.asarray(False))
+    s = jax.lax.while_loop(
+        lambda s: (~s.converged) & (s.iters < cfg.max_iter), chunk, init)
+    zc_f = _from_slot_major(s.zc3)
+    yc_f = _from_slot_major(s.yc3)
+    return ADMMResult(
+        x=s.x * sc.D,
+        z=jnp.concatenate([zc_f / sc.E_c, s.zb / sc.E_b]),
+        y=jnp.concatenate([yc_f * (sc.E_c / sc.c_obj),
+                           s.yb * (sc.E_b / sc.c_obj)]),
+        iters=s.iters, pri_res=s.pri, dua_res=s.dua, converged=s.converged,
+    )

@@ -59,3 +59,26 @@ class Timer:
                 np.asarray(leaves[0])
         self.elapsed = time.perf_counter() - self._t0
         return False
+
+
+def machine_cache_dir(name: str) -> str:
+    """A per-CPU-model persistent-compilation-cache path.
+
+    XLA:CPU AOT executables embed host CPU features; loading one compiled
+    on a different machine model SIGSEGVs (observed on the heterogeneous
+    CI fleet).  Keying the cache dir by a fingerprint of the CPU flags
+    makes stale entries unreachable instead of fatal.
+    """
+    import hashlib
+    import tempfile
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    import platform
+
+    fp = hashlib.sha1(
+        (platform.machine() + flags).encode()).hexdigest()[:12]
+    return f"{tempfile.gettempdir()}/{name}_{fp}"
