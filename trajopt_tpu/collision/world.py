@@ -335,12 +335,10 @@ class CollisionScene:
                                                        Rb, pb, pr_b)
         raise ValueError(f"unsupported group {key}")
 
-    def distances(self, q: jax.Array, params=None) -> jax.Array:
-        """[n_pairs] signed distances at one configuration (vectorized
-        grouped narrowphase).  ``params`` supplies world-geom centers for
-        geoms registered with ``center_param`` (randomized scenes)."""
-        dtype = q.dtype
-        R, p = self.tree.fk(q)
+    def _distances_from_poses(self, R, p, dtype, params=None) -> jax.Array:
+        """[n_pairs] signed distances given link world poses (R [L,3,3],
+        p [L,3]) — the narrowphase separated from FK so pose-space
+        pullbacks don't traverse the kinematic chain."""
         n = self.n_pairs
         out = jnp.zeros((n,), dtype)
         for key, idxs, a, b in self._pair_groups():
@@ -353,6 +351,53 @@ class CollisionScene:
             Ra, pa = _world_pose(ga, self.tree, R, p, dtype)
             out = out.at[idx].set(self._sdf_distance(ga, gb, Ra, pa, dtype))
         return out
+
+    def distances(self, q: jax.Array, params=None) -> jax.Array:
+        """[n_pairs] signed distances at one configuration (vectorized
+        grouped narrowphase).  ``params`` supplies world-geom centers for
+        geoms registered with ``center_param`` (randomized scenes)."""
+        dtype = q.dtype
+        R, p = self.tree.fk(q)
+        return self._distances_from_poses(R, p, dtype, params)
+
+    def distances_and_jac(self, q: jax.Array, params=None):
+        """([n_pairs] distances, [n_pairs, n_dof] Jacobian) with the
+        Jacobian composed analytically: distance cotangents w.r.t. LINK
+        POSES (a vjp through the shallow narrowphase only) chained with
+        the geometric-Jacobian velocity relations — the reference's
+        grad = ±n' J_link with ref-point shift (collision_terms.cpp:203-323)
+        generalized to every primitive pair by autodiff in pose space.
+
+        This avoids pulling n_pairs reverse tangents back through the FK
+        chain (the dominant cost of jacrev(distances): the chain is a
+        sequential composition the backward pass re-traverses per tangent;
+        measured 4.4 ms/convexify at B=128 flagship before this path).
+        """
+        dtype = q.dtype
+        R, p, z, o = self.tree.fk_with_axes(q)
+        ds, vjp = jax.vjp(
+            lambda Rl, pl: self._distances_from_poses(Rl, pl, dtype, params),
+            R, p)
+        anc = jnp.asarray(self.tree.ancestor, dtype)          # [L, n_dof]
+        is_rev = jnp.asarray(self.tree._active_types() == 0)  # [n_dof]
+
+        def pull(e):
+            gR, gp = vjp(e)                                   # [L,3,3], [L,3]
+            # Revolute joint j (axis z_j through o_j) moves descendant
+            # link l with  p_l' = z_j x (p_l - o_j),  R_l' = [z_j]x R_l:
+            #   dd/dq_j = z_j . sum_l anc[l,j] (p_l x gp_l + sum_c R_c x gR_c)
+            #           - z_j . (o_j x sum_l anc[l,j] gp_l)
+            # Prismatic: dd/dq_j = z_j . sum_l anc[l,j] gp_l.
+            m = (jnp.cross(p, gp)
+                 + jnp.sum(jnp.cross(R, gR, axis=1), axis=2))  # [L, 3]
+            A = anc.T @ m                                      # [n_dof, 3]
+            B = anc.T @ gp                                     # [n_dof, 3]
+            d_rev = jnp.sum(z * (A - jnp.cross(o, B)), axis=1)
+            d_pri = jnp.sum(z * B, axis=1)
+            return jnp.where(is_rev, d_rev, d_pri)
+
+        J = jax.vmap(pull)(jnp.eye(self.n_pairs, dtype=dtype))
+        return ds, J
 
     def _sdf_distance(self, ga: CollGeom, gb: CollGeom, Ra, pa, dtype):
         from trajopt_tpu.collision import sdf_grid as sg

@@ -130,16 +130,12 @@ def collision_term(
 
         def _step_vals_blocks(x, params):
             """ONE narrowphase pass -> (distances, scaled jac blocks); the
-            primal is shared with the Jacobian pullbacks via vjp."""
+            Jacobian composes pose-space narrowphase cotangents with the
+            geometric-Jacobian relations (scene.distances_and_jac) so no
+            reverse tangent re-traverses the FK chain."""
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-
-            def one(q):
-                ds, vjp = jax.vjp(lambda qq: scene.distances(qq, params), q)
-                J = jax.vmap(lambda e: vjp(e)[0])(
-                    jnp.eye(n_pairs_full, dtype=x.dtype))
-                return ds, J
-
-            ds, Js = jax.vmap(one)(qs[steps_arr])
+            ds, Js = jax.vmap(
+                lambda q: scene.distances_and_jac(q, params))(qs[steps_arr])
             return ds, -Js * jnp.asarray(coeff_full, x.dtype)[None, :, None]
 
         def _step_blocks(x, params):
