@@ -102,6 +102,7 @@ class ADMMConfig:
     ns_refresh: bool = False
     ns_tol: float = 1e-5
     ns_max_iter: int = 25
+    ns_power_iters: int = 8  # lam_max estimate for the seed safeguard
     # run early NS iterations with bf16 MXU matmuls (~4x faster), then
     # polish at full precision — NS self-corrects, see qp/inverse.py
     ns_coarse: bool = False

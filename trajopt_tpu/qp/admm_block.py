@@ -149,6 +149,7 @@ def prepare_qp_block(qp: BlockQP, cfg: ADMMConfig = ADMMConfig(),
         Minv = cholesky_inverse(M)
     else:
         Minv = ns_inverse(M, minv0, tol=cfg.ns_tol, max_iter=cfg.ns_max_iter,
+                          power_iters=cfg.ns_power_iters,
                           coarse=cfg.ns_coarse)
     return PreparedBlockQP(sq=sq, b_diag=b_diag, sc=sc, rho_c=rho_c,
                            rho_b=rho_b, Minv=Minv, q_norm=_inf(qp.q))
