@@ -306,11 +306,18 @@ def avoid_singularity(
     coeff: float = 1.0,
     first_step: int = 0,
     last_step: int = -1,
+    joints: Sequence[int] | None = None,
     n_dof_total: int | None = None,
     name: str | None = None,
 ) -> TermSet:
     """err_t = 1/(sigma_min(J_t) + lambda) - 1/(0.1 + lambda), hinge cost
-    (AvoidSingularityErrCalculator, kinematic_terms.cpp:586-603)."""
+    (AvoidSingularityErrCalculator, kinematic_terms.cpp:586-603).
+
+    ``joints`` restricts the Jacobian to a subset of active-joint columns —
+    the AvoidSingularitySubsetErrCalculator variant (kinematic_terms.hpp,
+    subset_kin_ vs superset joints) used when only part of a composite
+    group should stay away from singularities.
+    """
     n_dof = tree.n_dof
     n_dof_total = n_dof_total or n_dof
     if last_step <= -1:
@@ -318,12 +325,15 @@ def avoid_singularity(
     steps = list(range(first_step, last_step + 1))
     name = name or f"avoid_singularity_{link}"
     threshold = 1.0 / (0.1 + lambda_)
+    cols = None if joints is None else np.asarray(list(joints))
 
     def fn(x, params):
         qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
         vals = []
         for t in steps:
             J = tree.jacobian(qs[t], link)
+            if cols is not None:
+                J = J[:, cols]
             s = jnp.linalg.svd(J, compute_uv=False)
             vals.append(1.0 / (s[-1] + lambda_) - threshold)
         return jnp.stack(vals)
