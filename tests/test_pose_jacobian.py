@@ -38,6 +38,39 @@ def test_matches_autodiff(name):
                                    atol=1e-12)
 
 
+@pytest.mark.parametrize("name", ["arm7", "boxbot"])
+def test_swept_matches_autodiff(name):
+    scene = SCENES[name]()
+    nd = scene.tree.n_dof
+    q0 = jax.random.uniform(jax.random.PRNGKey(1), (nd,), minval=-0.8,
+                            maxval=0.8)
+    q1 = q0 + 0.3
+    ds, J0, J1 = scene.swept_distances_and_jac(q0, q1)
+    np.testing.assert_allclose(
+        np.asarray(ds), np.asarray(scene.swept_distances(q0, q1)), rtol=0)
+    J0_ref = jax.jacrev(scene.swept_distances, argnums=0)(q0, q1)
+    J1_ref = jax.jacrev(scene.swept_distances, argnums=1)(q0, q1)
+    np.testing.assert_allclose(np.asarray(J0), np.asarray(J0_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J1), np.asarray(J1_ref), atol=1e-12)
+
+
+@pytest.mark.parametrize("evaluator", ["lvs_discrete", "cast"])
+def test_gap_term_banded_jac_matches_autodiff(evaluator):
+    from trajopt_tpu.terms.collision import collision_term
+    scene = SCENES["boxbot"]()
+    n = 3
+    term = collision_term(scene, n, margin=0.05, coeff=7.0, is_cost=False,
+                          evaluator=evaluator, lvs_substeps=3)
+    x = jnp.linspace(-0.5, 0.5, n * scene.tree.n_dof)
+    r, W = term.val_banded_jac(x, {})
+    np.testing.assert_allclose(np.asarray(r), np.asarray(term.fn(x, {})),
+                               rtol=0, atol=1e-14)
+    J_dense = term.val_jac_fn(x, {})[1]
+    J_ref = jax.jacrev(lambda v: term.fn(v, {}))(x)
+    np.testing.assert_allclose(np.asarray(J_dense), np.asarray(J_ref),
+                               atol=1e-10)
+
+
 def test_jits_and_vmaps():
     scene = SCENES["arm7"]()
     nd = scene.tree.n_dof

@@ -425,6 +425,45 @@ class CollisionScene:
         dtype = q0.dtype
         R0, p0 = self.tree.fk(q0)
         R1, p1 = self.tree.fk(q1)
+        return self._swept_from_poses(R0, p0, R1, p1, dtype, params)
+
+    def swept_distances_and_jac(self, q0: jax.Array, q1: jax.Array,
+                                params=None):
+        """(ds [n_pairs], J0 [n_pairs, n_dof], J1 [n_pairs, n_dof]) for the
+        cast/swept check — pose-space analytic composition exactly like
+        :meth:`distances_and_jac`, applied independently at each endpoint
+        (the reference scales the two casted-state gradients by cc_time;
+        here the dependence flows through both endpoint poses exactly)."""
+        dtype = q0.dtype
+        R0, p0, z0, o0 = self.tree.fk_with_axes(q0)
+        R1, p1, z1, o1 = self.tree.fk_with_axes(q1)
+        ds, vjp = jax.vjp(
+            lambda Ra, pa, Rb, pb: self._swept_from_poses(
+                Ra, pa, Rb, pb, dtype, params), R0, p0, R1, p1)
+        anc = jnp.asarray(self.tree.ancestor, dtype)
+        is_rev = jnp.asarray(self.tree._active_types() == 0)
+
+        def compose(gR, gp, R, p, z, o):
+            m = (jnp.cross(p, gp)
+                 + jnp.sum(jnp.cross(R, gR, axis=1), axis=2))
+            A = anc.T @ m
+            B = anc.T @ gp
+            d_rev = jnp.sum(z * (A - jnp.cross(o, B)), axis=1)
+            d_pri = jnp.sum(z * B, axis=1)
+            return jnp.where(is_rev, d_rev, d_pri)
+
+        def pull(e):
+            gR0, gp0, gR1, gp1 = vjp(e)
+            return (compose(gR0, gp0, R0, p0, z0, o0),
+                    compose(gR1, gp1, R1, p1, z1, o1))
+
+        J0, J1 = jax.vmap(pull)(jnp.eye(self.n_pairs, dtype=dtype))
+        return ds, J0, J1
+
+    def _swept_from_poses(self, R0, p0, R1, p1, dtype,
+                          params=None) -> jax.Array:
+        """Swept narrowphase given both endpoint pose sets (split from FK
+        so pose-space pullbacks skip the kinematic chain)."""
         out = []
         for ga, gb in self.pairs():
             Ra0, pa0 = _world_pose(ga, self.tree, R0, p0, dtype)

@@ -220,17 +220,37 @@ def collision_term(
         onehot1[np.arange(G), gaps_arr + 1] = 1.0
 
         def _gap_vals_blocks(x, params):
-            """ONE swept/LVS narrowphase pass -> (distances, jac blocks)."""
+            """ONE swept/LVS narrowphase pass -> (distances, jac blocks).
+
+            Jacobians come from the scene's pose-space analytic paths
+            (distances_and_jac / swept_distances_and_jac) chained through
+            the affine interpolation q_f = (1-f) q0 + f q1 — no reverse
+            tangents traverse the FK chain (see distances_and_jac)."""
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
 
-            def one(a, b):
-                ds, vjp = jax.vjp(
-                    lambda aa, bb: gap_dists(aa, bb, params), a, b)
-                eye = jnp.eye(n_sub * n_pairs_full, dtype=x.dtype).reshape(
-                    -1, n_sub, n_pairs_full)
-                J0, J1 = jax.vmap(vjp)(eye)
-                return (ds, J0.reshape(n_sub, n_pairs_full, n_dof),
-                        J1.reshape(n_sub, n_pairs_full, n_dof))
+            if evaluator == "lvs_discrete":
+                def one(a, b):
+                    outs = [scene.distances_and_jac(a + f * (b - a), params)
+                            for f in fracs]
+                    ds = jnp.stack([o[0] for o in outs])
+                    J0 = jnp.stack([(1.0 - f) * o[1]
+                                    for f, o in zip(fracs, outs)])
+                    J1 = jnp.stack([f * o[1] for f, o in zip(fracs, outs)])
+                    return ds, J0, J1
+            else:  # cast
+                def one(a, b):
+                    ds_k, J0_k, J1_k = [], [], []
+                    for k in range(lvs_substeps):
+                        fa, fb = fracs[k], fracs[k + 1]
+                        qa = a + fa * (b - a)
+                        qb = a + fb * (b - a)
+                        d, Ja, Jb = scene.swept_distances_and_jac(qa, qb,
+                                                                  params)
+                        ds_k.append(d)
+                        J0_k.append((1.0 - fa) * Ja + (1.0 - fb) * Jb)
+                        J1_k.append(fa * Ja + fb * Jb)
+                    return (jnp.stack(ds_k), jnp.stack(J0_k),
+                            jnp.stack(J1_k))
 
             ds, J0, J1 = jax.vmap(one)(qs[gaps_arr], qs[gaps_arr + 1])
             cf = jnp.asarray(coeff_full, x.dtype)[None, None, :, None]
