@@ -71,6 +71,49 @@ def test_gap_term_banded_jac_matches_autodiff(evaluator):
                                atol=1e-10)
 
 
+@pytest.mark.parametrize("evaluator", ["discrete", "cast"])
+def test_topk_jacobians_match_autodiff(evaluator):
+    """max_num_cnt top-k now keeps analytic banded/dense Jacobians (the
+    selection is within a step/gap window); they must match autodiff
+    through the top_k gather of the raw fn."""
+    from trajopt_tpu.terms.collision import collision_term
+    scene = SCENES["arm7"]()
+    n = 3
+    term = collision_term(scene, n, margin=0.05, coeff=9.0, is_cost=False,
+                          evaluator=evaluator, lvs_substeps=2, max_num_cnt=3)
+    assert term.banded_jac is not None and term.val_banded_jac is not None
+    x = jnp.linspace(-0.4, 0.6, n * scene.tree.n_dof)
+    r, W = term.val_banded_jac(x, {})
+    np.testing.assert_allclose(np.asarray(r), np.asarray(term.fn(x, {})),
+                               rtol=0, atol=1e-14)
+    J_dense = term.val_jac_fn(x, {})[1]
+    J_ref = jax.jacrev(lambda v: term.fn(v, {}))(x)
+    np.testing.assert_allclose(np.asarray(J_dense), np.asarray(J_ref),
+                               atol=1e-10)
+    assert r.shape[0] == term.n_rows == J_dense.shape[0]
+
+
+def test_topk_structured_solve_converges():
+    from trajopt_tpu.problem.trajectory import TrajOptProblem, stationary_init
+    from trajopt_tpu.sqp.params import SQPStatus
+    from trajopt_tpu.terms.collision import collision_term
+    from trajopt_tpu.terms.joint import joint_pos, joint_vel
+    scene = SCENES["spherebot"]()
+    n = 4
+    prob = TrajOptProblem(n_steps=n, n_dof=2, joint_lower=[-10, -10],
+                          joint_upper=[10, 10], fixed_steps=[0])
+    prob.add_term(joint_vel(n, 2, is_cost=True))
+    prob.add_term(joint_pos(n, 2, is_cost=False, targets="goal",
+                            first_step=n - 1, last_step=n - 1))
+    prob.add_term(collision_term(scene, n, margin=0.1, coeff=20.0,
+                                 is_cost=False, fixed_steps=[0],
+                                 max_num_cnt=2))
+    res = prob.make_solve(structured=True)(
+        stationary_init(jnp.array([-2.0, 0.0]), n),
+        {"goal": jnp.array([2.0, 0.3])})
+    assert int(res.status) == SQPStatus.CONVERGED
+
+
 def test_jits_and_vmaps():
     scene = SCENES["arm7"]()
     nd = scene.tree.n_dof

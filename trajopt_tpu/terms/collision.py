@@ -122,8 +122,9 @@ def collision_term(
         # n_dof joints — differentiate per step (n_dof tangents instead of
         # n_steps*n_dof) and scatter into the dense matrix (the banded
         # structure the reference's VarArray terms exploit implicitly).
-        # With the top-k cap, row->pair mapping is data-dependent, so fall
-        # back to full autodiff (top_k gathers differentiate fine).
+        # With the top-k cap the row->pair mapping is data-dependent, but
+        # selection happens WITHIN a step, so rows stay step-local and the
+        # banded form survives — gather the selected Jacobian rows.
         S = len(steps)
         onehot = np.zeros((S, n_steps), np.float64)
         onehot[np.arange(S), steps_arr] = 1.0
@@ -138,39 +139,50 @@ def collision_term(
                 lambda q: scene.distances_and_jac(q, params))(qs[steps_arr])
             return ds, -Js * jnp.asarray(coeff_full, x.dtype)[None, :, None]
 
-        def _step_blocks(x, params):
-            return _step_vals_blocks(x, params)[1]
-
         def _viol(ds, dtype):
             return (jnp.asarray(coeff_full, dtype) *
                     (jnp.asarray(margin_full, dtype) - ds))
 
         def _scatter_jac(Js, dtype):
+            k = Js.shape[1]  # n_pairs_full or k_pairs (top-k selected)
             J = jnp.einsum("spd,st->sptd", Js, jnp.asarray(onehot, dtype))
-            out = jnp.zeros((S, n_pairs_full, n_steps, n_dof_total), dtype)
+            out = jnp.zeros((S, k, n_steps, n_dof_total), dtype)
             out = out.at[..., :n_dof].set(J)
-            return out.reshape(S * n_pairs_full, n_steps * n_dof_total)
+            return out.reshape(S * k, n_steps * n_dof_total)
 
         def jac(x, params):
-            return _scatter_jac(_step_blocks(x, params), x.dtype)
+            ds, Js = _step_vals_blocks(x, params)
+            return _scatter_jac(_select_rows(ds, Js, x.dtype)[1], x.dtype)
 
         def val_jac(x, params):
             ds, Js = _step_vals_blocks(x, params)
-            return _viol(ds, x.dtype).reshape(-1), _scatter_jac(Js, x.dtype)
+            vals, Jsel = _select_rows(ds, Js, x.dtype)
+            return vals.reshape(-1), _scatter_jac(Jsel, x.dtype)
 
         band_width = n_dof_total
-        band_starts = np.repeat(steps_arr * n_dof_total, n_pairs_full)
+        band_starts = np.repeat(steps_arr * n_dof_total, k_pairs)
+
+        def _select_rows(ds, Js, dtype):
+            """(viol [S, k], jac rows [S, k, n_dof]) after the optional
+            within-step top-k (collision_types.h:162 max_num_cnt)."""
+            viol = _viol(ds, dtype)
+            if not topk:
+                return viol, Js
+            vals, idx = jax.lax.top_k(viol, k_pairs)
+            return vals, jnp.take_along_axis(Js, idx[..., None], axis=1)
 
         def _W_of(Js, dtype):
-            W = jnp.zeros((S * n_pairs_full, band_width), dtype)
-            return W.at[:, :n_dof].set(Js.reshape(S * n_pairs_full, n_dof))
+            W = jnp.zeros((S * k_pairs, band_width), dtype)
+            return W.at[:, :n_dof].set(Js.reshape(S * k_pairs, n_dof))
 
         def banded_jac(x, params):
-            return _W_of(_step_blocks(x, params), x.dtype)
+            ds, Js = _step_vals_blocks(x, params)
+            return _W_of(_select_rows(ds, Js, x.dtype)[1], x.dtype)
 
         def val_banded_jac(x, params):
             ds, Js = _step_vals_blocks(x, params)
-            return _viol(ds, x.dtype).reshape(-1), _W_of(Js, x.dtype)
+            vals, Jsel = _select_rows(ds, Js, x.dtype)
+            return vals.reshape(-1), _W_of(Jsel, x.dtype)
 
     else:
         # Per-gap terms; a gap is skipped only when BOTH endpoints are fixed
@@ -256,39 +268,46 @@ def collision_term(
             cf = jnp.asarray(coeff_full, x.dtype)[None, None, :, None]
             return ds, -J0 * cf, -J1 * cf  # [G, n_sub, n_pairs(, n_dof)]
 
-        def _gap_blocks(x, params):
-            return _gap_vals_blocks(x, params)[1:]
-
         def _viol(ds, dtype):
             return (jnp.asarray(coeff_full, dtype) *
                     (jnp.asarray(margin_full, dtype) - ds))
 
+        def _select_rows(ds, J0, J1, dtype):
+            """Optional within-(gap, sub-segment) top-k: rows stay inside
+            the same two-step window, so the banded form survives."""
+            viol = _viol(ds, dtype)                 # [G, n_sub, n_pairs]
+            if not topk:
+                return viol, J0, J1
+            vals, idx = jax.lax.top_k(viol, k_pairs)
+            take = lambda J: jnp.take_along_axis(  # noqa: E731
+                J, idx[..., None], axis=2)
+            return vals, take(J0), take(J1)
+
         def _scatter_jac(J0, J1, dtype):
+            k = J0.shape[2]  # n_pairs_full or k_pairs (top-k selected)
             oh0 = jnp.asarray(onehot0, dtype)
             oh1 = jnp.asarray(onehot1, dtype)
             J = jnp.einsum("gkpd,gt->gkptd", J0, oh0) + \
                 jnp.einsum("gkpd,gt->gkptd", J1, oh1)
-            out = jnp.zeros((G, n_sub, n_pairs_full, n_steps, n_dof_total),
-                            dtype)
+            out = jnp.zeros((G, n_sub, k, n_steps, n_dof_total), dtype)
             out = out.at[..., :n_dof].set(J)
-            return out.reshape(G * n_sub * n_pairs_full,
-                               n_steps * n_dof_total)
+            return out.reshape(G * n_sub * k, n_steps * n_dof_total)
 
         def jac(x, params):
-            J0, J1 = _gap_blocks(x, params)
-            return _scatter_jac(J0, J1, x.dtype)
+            ds, J0, J1 = _gap_vals_blocks(x, params)
+            _, J0s, J1s = _select_rows(ds, J0, J1, x.dtype)
+            return _scatter_jac(J0s, J1s, x.dtype)
 
         def val_jac(x, params):
             ds, J0, J1 = _gap_vals_blocks(x, params)
-            return (_viol(ds, x.dtype).reshape(-1),
-                    _scatter_jac(J0, J1, x.dtype))
+            vals, J0s, J1s = _select_rows(ds, J0, J1, x.dtype)
+            return vals.reshape(-1), _scatter_jac(J0s, J1s, x.dtype)
 
         band_width = 2 * n_dof_total
-        band_starts = np.repeat(gaps_arr * n_dof_total,
-                                n_sub * n_pairs_full)
+        band_starts = np.repeat(gaps_arr * n_dof_total, n_sub * k_pairs)
 
         def _W_of(J0, J1, dtype):
-            m_rows = G * n_sub * n_pairs_full
+            m_rows = G * n_sub * k_pairs
             W = jnp.zeros((m_rows, band_width), dtype)
             W = W.at[:, :n_dof].set(J0.reshape(m_rows, n_dof))
             W = W.at[:, n_dof_total:n_dof_total + n_dof].set(
@@ -296,21 +315,21 @@ def collision_term(
             return W
 
         def banded_jac(x, params):
-            J0, J1 = _gap_blocks(x, params)
-            return _W_of(J0, J1, x.dtype)
+            ds, J0, J1 = _gap_vals_blocks(x, params)
+            return _W_of(*_select_rows(ds, J0, J1, x.dtype)[1:], x.dtype)
 
         def val_banded_jac(x, params):
             ds, J0, J1 = _gap_vals_blocks(x, params)
-            return _viol(ds, x.dtype).reshape(-1), _W_of(J0, J1, x.dtype)
+            vals, J0s, J1s = _select_rows(ds, J0, J1, x.dtype)
+            return vals.reshape(-1), _W_of(J0s, J1s, x.dtype)
 
     # Coefficients are folded into the residual rows (reference convention:
     # constraint violations and hinge values include the coeff), so the
-    # hinge weight is 1.
-    jac_fn = None if topk else jac
+    # hinge weight is 1.  All paths (dense, banded, top-k capped) provide
+    # analytic Jacobians: top-k selection is within a step/gap window, so
+    # the gathered rows keep the banded structure.
     kind = Kind.COST_HINGE if is_cost else Kind.CNT_INEQ
-    if topk:
-        return TermSet(name, kind, raw, n_rows, jac_fn=None)
-    return TermSet(name, kind, raw, n_rows, jac_fn=jac_fn,
+    return TermSet(name, kind, raw, n_rows, jac_fn=jac,
                    banded_jac=banded_jac, band_starts=band_starts,
                    band_width=band_width, val_jac_fn=val_jac,
                    val_banded_jac=val_banded_jac)
