@@ -72,3 +72,44 @@ def test_parity_cast_problem():
     assert int(jres.status) == SQPStatus.CONVERGED
     assert rres.status == SQPStatus.CONVERGED
     np.testing.assert_allclose(np.asarray(jres.x), rres.x, atol=1e-3)
+
+
+def test_parity_all_execution_paths():
+    """Every QP execution path (dense JAX ADMM, structured block-banded,
+    block-banded + NS refresh, fused pallas kernel [interpret on CPU],
+    native C++ host driver) must agree on the same problem within the
+    1e-3 parity budget — the AllSolvers matrix of small-problems-unit.cpp
+    applied to a collision problem."""
+    import dataclasses
+
+    from trajopt_tpu.qp.admm import ADMMConfig
+    from trajopt_tpu.sqp.params import SQPParams
+
+    s = spherebot_scene()
+    n = 4
+    prob = TrajOptProblem(n_steps=n, n_dof=2, joint_lower=[-10, -10],
+                          joint_upper=[10, 10], fixed_steps=[0])
+    prob.add_term(joint_vel(n, 2, is_cost=True))
+    prob.add_term(joint_pos(n, 2, is_cost=False, targets=np.array([2.0, 0.3]),
+                            first_step=n - 1, last_step=n - 1))
+    prob.add_term(collision_term(s, n, margin=0.1, coeff=20.0, is_cost=False,
+                                 fixed_steps=[0]))
+    init = stationary_init(jnp.array([-2.0, 0.0]), n)
+
+    results = {"dense": prob.make_solve()(init, {})}
+    results["structured"] = prob.make_solve(structured=True)(init, {})
+    sqp_ns = dataclasses.replace(SQPParams(), qp=ADMMConfig(ns_refresh=True))
+    results["ns"] = prob.make_solve(sqp_ns, structured=True)(init, {})
+    sqp_pl = dataclasses.replace(SQPParams(), qp=ADMMConfig(use_pallas=True))
+    results["pallas"] = prob.make_solve(sqp_pl, structured=True)(init, {})
+
+    nlp = prob.build()
+    x0 = jnp.asarray(init).reshape(-1)
+    lb, ub = prob.bounds(x0)
+    ref = solve_reference(nlp, np.asarray(x0), np.asarray(lb), np.asarray(ub),
+                          {})
+    assert ref.status == SQPStatus.CONVERGED
+    for name, res in results.items():
+        assert int(res.status) == SQPStatus.CONVERGED, name
+        np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=1e-3,
+                                   err_msg=name)
