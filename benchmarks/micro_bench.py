@@ -39,6 +39,9 @@ def emit(name, seconds, unit="s"):
 
 
 def main():
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from trajopt_tpu.models.benchmarks import (
         arm_table_batch, arm_table_problem, simple_collision_problem)
     from trajopt_tpu.sqp import nlp as nm
