@@ -27,6 +27,7 @@ from trajopt_tpu.terms.cartesian import (
 from trajopt_tpu.terms.collision import collision_term
 from trajopt_tpu.terms.joint import joint_acc, joint_jerk, joint_pos, joint_vel
 from trajopt_tpu.terms.time import joint_acc_time, joint_vel_time, total_time
+from trajopt_tpu.utils.debug import dump_failed_qps
 
 __version__ = "0.1.0"
 
