@@ -86,3 +86,38 @@ def test_sqp_ns_refresh_matches_cholesky_path():
     # Frobenius residual on a well-scaled M)
     np.testing.assert_allclose(np.asarray(ns.x), np.asarray(base.x), atol=1e-5)
     assert int(ns.n_qp_solves) <= int(base.n_qp_solves) + 2
+
+
+def test_sqp_ns_refresh_randomized_scenes_batched():
+    """NS-refresh robustness beyond the fixed bench family: randomized
+    obstacle positions + goals, batched, structured path, both
+    factorizations must agree on statuses and solutions (the carried-
+    inverse seed sees a different M sequence per lane)."""
+    from tests.test_mpc_randomized import param_scene
+    from trajopt_tpu.terms.joint import joint_vel as jv
+
+    s = param_scene()
+    n = 5
+    prob = TrajOptProblem(n_steps=n, n_dof=2, joint_lower=[-10, -10],
+                          joint_upper=[10, 10], fixed_steps=[0])
+    prob.add_term(jv(n, 2, is_cost=True))
+    prob.add_term(joint_pos(n, 2, is_cost=False, targets="goal",
+                            first_step=n - 1, last_step=n - 1))
+    prob.add_term(collision_term(s, n, margin=0.1, coeff=20.0, is_cost=False,
+                                 fixed_steps=[0]))
+    init = stationary_init(jnp.array([-2.0, 0.0]), n)
+    key = jax.random.PRNGKey(3)
+    obs = jax.random.uniform(key, (4, 3), minval=-0.4, maxval=0.4)
+    goals = jnp.tile(jnp.array([2.0, 0.1]), (4, 1)) + \
+        jax.random.uniform(jax.random.PRNGKey(4), (4, 2), minval=-0.3,
+                           maxval=0.3)
+
+    base = jax.vmap(lambda o, g: prob.make_solve(structured=True)(
+        init, {"obstacle_pos": o, "goal": g}))(obs, goals)
+    sqp_ns = dataclasses.replace(SQPParams(), qp=ADMMConfig(ns_refresh=True))
+    ns = jax.vmap(lambda o, g: prob.make_solve(sqp_ns, structured=True)(
+        init, {"obstacle_pos": o, "goal": g}))(obs, goals)
+    np.testing.assert_array_equal(np.asarray(ns.status),
+                                  np.asarray(base.status))
+    np.testing.assert_allclose(np.asarray(ns.x), np.asarray(base.x),
+                               atol=1e-4)
