@@ -104,3 +104,46 @@ def test_fixed_dofs_pinned():
     np.testing.assert_allclose(traj[:, 2], 0.2, atol=1e-9)   # pinned
     np.testing.assert_allclose(traj[:, 3], -0.2, atol=1e-9)  # pinned
     np.testing.assert_allclose(traj[-1, :2], [1.0, 0.5], atol=1e-3)
+
+
+def test_dual_arm_inter_arm_collision_avoidance():
+    """Self-collision between the two BRANCHES of the tree: spheres on both
+    hands, left hand sweeps through the right arm's workspace — the solver
+    must find a trajectory where the hands never come within the margin
+    (the PR2-class whole-body self-collision case; adjacency pruning must
+    NOT remove the inter-branch pair)."""
+    from trajopt_tpu.collision.check import check_trajectory
+    from trajopt_tpu.collision.world import CollisionScene
+    from trajopt_tpu.terms.collision import collision_term
+
+    scene = CollisionScene(DUAL)
+    scene.add_link_sphere("l_hand", 0.15)
+    scene.add_link_sphere("r_hand", 0.15)
+    # hands are NOT adjacent links (different branches) -> candidate pair
+    assert scene.n_pairs == 1
+
+    n = 8
+    prob = TrajOptProblem(n_steps=n, n_dof=4, joint_lower=DUAL.lower,
+                          joint_upper=DUAL.upper, fixed_steps=[0])
+    prob.add_term(joint_vel(n, 4, is_cost=True))
+    # left arm sweeps from "up" to "down" THROUGH the right hand's pose;
+    # infinite tolerance bands free the right arm to dodge (tolerance-band
+    # semantics of JointPosTermInfo)
+    prob.add_term(joint_pos(n, 4, is_cost=False,
+                            targets=np.array([-1.2, 0.0, 0.6, 0.0]),
+                            upper_tols=np.array([0.0, 0.0, 10.0, 10.0]),
+                            lower_tols=np.array([0.0, 0.0, -10.0, -10.0]),
+                            first_step=n - 1, last_step=n - 1))
+    prob.add_term(collision_term(scene, n, margin=0.05, coeff=20.0,
+                                 is_cost=False, evaluator="cast",
+                                 fixed_steps=[0]))
+    init = stationary_init(jnp.array([1.2, 0.0, 0.6, 0.0]), n)
+    # sweeping the left arm with the right arm parked violates the margin
+    d_mid = scene.distances(jnp.array([-0.55, 0.0, 0.6, 0.0]))
+    assert float(d_mid.min()) < 0.05
+
+    res = prob.make_solve(structured=True)(init, {})
+    assert int(res.status) == SQPStatus.CONVERGED
+    traj = np.asarray(res.x).reshape(n, 4)
+    ok, dmin = check_trajectory(scene, traj, margin=0.0, substeps=8)
+    assert ok, dmin
