@@ -46,7 +46,7 @@ def main():
     # B=192 393/s on v5e-1.
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_steps = 30
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
 
     # Block-banded (gather-free) structured QP path: 220 solves/s vs 78
     # dense on v5e-1 (the ADMM iteration drops from 576us to 50us).
