@@ -167,6 +167,87 @@ def capsule_box(a, b, r, R_box, p_box, half):
     return segment_box(a, b, R_box, p_box, half) - r
 
 
+_BOX_SIGNS = jnp.array([[sx, sy, sz]
+                        for sx in (-1.0, 1.0)
+                        for sy in (-1.0, 1.0)
+                        for sz in (-1.0, 1.0)])
+# 12 box edges as corner-index pairs (corners indexed by _BOX_SIGNS order:
+# bit2=x, bit1=y, bit0=z with (-,+) -> (0,1))
+_BOX_EDGES = jnp.array([
+    # 4 edges along z (bit0 flips)
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    # 4 edges along y (bit1 flips)
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    # 4 edges along x (bit2 flips)
+    (0, 4), (1, 5), (2, 6), (3, 7),
+])
+
+
+def _box_corners(R, p, h):
+    """[8, 3] world corners of an oriented box."""
+    return p[None, :] + (_BOX_SIGNS.astype(h.dtype) * h) @ R.T
+
+
+def box_box(R0, p0, h0, R1, p1, h1):
+    """Exact signed distance between two oriented boxes (OBB-OBB).
+
+    Separated: the closest feature pair of two convex polytopes is either
+    vertex-face (covered by exact point-to-box SDF of each box's 8 corners
+    against the other box) or edge-edge (covered by the 144 segment-segment
+    distances); parallel face-face / edge-face cases are degenerate
+    combinations of those, so the minimum over the 160 closed forms is the
+    exact distance.  Overlapping: exact SAT minimum-translation depth over
+    the 15 candidate axes (3 + 3 face normals, 9 edge cross products) —
+    the EPA/MTV depth tesseract's contact managers report
+    (reference narrowphase role: ``collision_terms.cpp`` contact queries).
+
+    Replaces the rotated-AABB conservatism of :func:`box_box_axis_aligned`
+    for mutually rotated pairs; the grouped narrowphase still routes
+    provably axis-aligned pairs (prismatic robots vs world boxes) to the
+    cheap formula.
+    """
+    dtype = p0.dtype
+    c0 = _box_corners(R0, p0, h0)
+    c1 = _box_corners(R1, p1, h1)
+
+    # --- vertex-face candidates: corners of each box vs the other box ---
+    def corner_to_box(c, R, p, h):
+        return point_box_sdf(R.T @ (c - p), h)
+
+    d_v0 = jax.vmap(lambda c: corner_to_box(c, R1, p1, h1))(c0)   # [8]
+    d_v1 = jax.vmap(lambda c: corner_to_box(c, R0, p0, h0))(c1)   # [8]
+
+    # --- edge-edge candidates: 12 x 12 segment distances ---
+    e0a, e0b = c0[_BOX_EDGES[:, 0]], c0[_BOX_EDGES[:, 1]]         # [12, 3]
+    e1a, e1b = c1[_BOX_EDGES[:, 0]], c1[_BOX_EDGES[:, 1]]
+
+    def edge_pair(a0, b0):
+        def one(a1, b1):
+            u, v = segment_segment_closest(a0, b0, a1, b1)
+            return _norm(u - v)
+        return jax.vmap(one)(e1a, e1b)
+
+    d_ee = jax.vmap(edge_pair)(e0a, e0b)                          # [12, 12]
+    d_sep = jnp.minimum(jnp.minimum(jnp.min(d_v0), jnp.min(d_v1)),
+                        jnp.min(d_ee))
+
+    # --- SAT: separation test + exact penetration depth ---
+    cross = jnp.cross(R0.T[:, None, :], R1.T[None, :, :]).reshape(9, 3)
+    nrm = _norm(cross)[:, None]
+    # degenerate (parallel-edge) cross products fall back to a face normal,
+    # which is already among the candidates — harmless duplication
+    cross = jnp.where(nrm > 1e-9, cross / jnp.where(nrm > 1e-9, nrm, 1.0),
+                      R0.T[0][None, :])
+    axes = jnp.concatenate([R0.T, R1.T, cross])                   # [15, 3]
+    r0 = jnp.abs(axes @ R0) @ h0                                  # [15]
+    r1 = jnp.abs(axes @ R1) @ h1
+    sep = jnp.abs(axes @ (p1 - p0))
+    overlap = r0 + r1 - sep                                       # [15]
+    separated = jnp.any(overlap < 0.0)
+    pen = jnp.maximum(jnp.min(overlap), 0.0)
+    return jnp.where(separated, d_sep, -pen)
+
+
 def box_box_axis_aligned(R0, p0, h0, R1, p1, h1):
     """Signed distance between two boxes via the per-axis gap formula in
     box-0's frame.  Exact when the boxes are axis-aligned relative to each
