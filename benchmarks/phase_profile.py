@@ -83,7 +83,7 @@ def main():
     print(f"full solve batch          : {t_full*1e3:9.2f} ms  (status sum {r})")
 
     jac_cache = nlp_mod.linear_jacobians(nlp, n, {"goal": goals[0]}, dtype)
-    merit_coeffs = jnp.full((nlp.num_cnt_sets,), 10.0, dtype)
+    merit_coeffs = jnp.full((nlp_mod.num_cnt_groups(nlp),), 10.0, dtype)
     starts_all, band_w = nlp_mod.structured_band(nlp)
     plan = bb.make_plan(starts_all, band_w, nlp.block[0], nlp.block[1])
 

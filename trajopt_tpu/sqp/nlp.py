@@ -106,6 +106,15 @@ class TermSet:
     # fn + jac_fn separately.
     val_jac_fn: "Callable[[jax.Array, Params], tuple] | None" = None
     val_banded_jac: "Callable[[jax.Array, Params], tuple] | None" = None
+    # Merit granularity (constraint sets only): row -> group id in
+    # [0, n_groups).  The reference hatches one Constraint object per
+    # step/gap (problem_description.cpp:1726-1770), so per-constraint
+    # merit inflation (optimizers.cpp:947-959) and the cnt_tolerance
+    # check operate per step; `groups` reproduces that granularity inside
+    # one fused set: violations are summed per group, and each group
+    # carries its own merit coefficient.  None -> one group (whole set).
+    groups: "np.ndarray | None" = None
+    n_groups: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,6 +238,52 @@ def cnt_row_structure(nlp: Nlp) -> list[tuple[TermSet, slice]]:
     return out
 
 
+def term_groups(t: TermSet) -> int:
+    """Merit-granularity group count of one constraint set."""
+    return t.n_groups if t.groups is not None else 1
+
+
+def num_cnt_groups(nlp: Nlp) -> int:
+    """Total merit units: the length of the per-'constraint' violation and
+    merit-coefficient vectors (one per hatched Constraint object in the
+    reference; per group here)."""
+    return sum(term_groups(t) for t in nlp.cnt_sets)
+
+
+def cnt_group_structure(nlp: Nlp) -> list[tuple[TermSet, slice, slice]]:
+    """[(term, row_slice, group_slice)] over constraint sets; group_slice
+    indexes the merit-coefficient / violation vectors."""
+    out, row0, g0 = [], 0, 0
+    for t in nlp.cnt_sets:
+        ng = term_groups(t)
+        out.append((t, slice(row0, row0 + t.n_rows), slice(g0, g0 + ng)))
+        row0 += t.n_rows
+        g0 += ng
+    return out
+
+
+def cnt_group_names(nlp: Nlp) -> list[str]:
+    """Diagnostic name per merit unit (set name, suffixed by group index
+    for multi-group sets — the reference's per-step constraint names)."""
+    names = []
+    for t in nlp.cnt_sets:
+        ng = term_groups(t)
+        if ng == 1:
+            names.append(t.name)
+        else:
+            names.extend(f"{t.name}[{g}]" for g in range(ng))
+    return names
+
+
+def _group_reduce(viol_rows: jax.Array, t: TermSet) -> jax.Array:
+    """Sum per-row violations into per-group totals (Constraint::violation
+    = vecSum(violations), modeling.cpp — one sum per hatched constraint)."""
+    if t.groups is None:
+        return jnp.sum(viol_rows, keepdims=True)
+    return jax.ops.segment_sum(viol_rows, jnp.asarray(t.groups),
+                               num_segments=t.n_groups)
+
+
 def _convexify_costs(nlp: Nlp, x: jax.Array, params: Params,
                      jac_cache: dict | None, *, pen_rows: bool):
     """Quadratize the cost sets at x -> (P, q, c0, A/b/w penalty rows).
@@ -258,7 +313,16 @@ def _convexify_costs(nlp: Nlp, x: jax.Array, params: Params,
             if t.kind is Kind.COST_GENERIC_FULL:
                 H = _psd_project(jax.hessian(f)(x))
             else:
-                h = jnp.maximum(jnp.diagonal(jax.hessian(f)(x)), 0.0)
+                # Diagonal variant: per-coordinate second directional
+                # derivatives d2f/dx_i2 by forward-over-forward JVPs — the
+                # point of the reference's diagonal path is to avoid the
+                # full Hessian (modeling_utils.cpp:57-72), so no [n, n]
+                # matrix and no reverse pass are ever built.
+                def d2(e):
+                    g = lambda v: jax.jvp(f, (v,), (e,))[1]  # noqa: E731
+                    return jax.jvp(g, (x,), (e,))[1]
+                eye_n = jnp.eye(x.shape[0], dtype=dtype)
+                h = jnp.maximum(jax.vmap(d2)(eye_n), 0.0)
                 H = jnp.diag(h)
             P = P + w * H
             q = q + w * (g - H @ x)
@@ -364,12 +428,12 @@ def model_cost_total(nlp: Nlp, model: ConvexModel, x: jax.Array) -> jax.Array:
 
 
 def eval_model_cnt_viols(nlp: Nlp, model: ConvexModel, x: jax.Array) -> jax.Array:
-    """Per-cnt-set violations of the *linearized* constraints at x
-    (evaluateModelCntViols)."""
+    """Per-group violations of the *linearized* constraints at x
+    (evaluateModelCntViols; one entry per hatched Constraint)."""
     g = model.A_cnt @ x + model.b_cnt
     d = _interval_dist(g, model.l_cnt, model.u_cnt)
-    vals = [jnp.sum(d[sl]) for _, sl in cnt_row_structure(nlp)]
-    return jnp.stack(vals) if vals else jnp.zeros((0,), x.dtype)
+    vals = [_group_reduce(d[sl], t) for t, sl, _ in cnt_group_structure(nlp)]
+    return jnp.concatenate(vals) if vals else jnp.zeros((0,), x.dtype)
 
 
 def eval_exact_costs(nlp: Nlp, x: jax.Array, params: Params) -> jax.Array:
@@ -390,16 +454,18 @@ def eval_exact_costs(nlp: Nlp, x: jax.Array, params: Params) -> jax.Array:
 
 
 def eval_exact_cnt_viols(nlp: Nlp, x: jax.Array, params: Params) -> jax.Array:
-    """Per-cnt-set exact violations (sum of |g| for EQ, pos(g) for INEQ), as
-    in Constraint::violation (modeling.cpp)."""
+    """Per-group exact violations (sum of |g| for EQ, pos(g) for INEQ), as
+    in Constraint::violation (modeling.cpp); one entry per merit unit
+    (= per hatched Constraint in the reference, e.g. per collision step)."""
     vals = []
     for t in nlp.cnt_sets:
         r = jnp.atleast_1d(jnp.asarray(t.fn(x, params)))
         if t.kind is Kind.CNT_EQ:
-            vals.append(jnp.sum(jnp.abs(r)))
+            rows = jnp.abs(r)
         else:
-            vals.append(jnp.sum(jnp.maximum(r, 0.0)))
-    return jnp.stack(vals) if vals else jnp.zeros((0,), x.dtype)
+            rows = jnp.maximum(r, 0.0)
+        vals.append(_group_reduce(rows, t))
+    return jnp.concatenate(vals) if vals else jnp.zeros((0,), x.dtype)
 
 
 # ----------------------------------------------------------------------
@@ -536,9 +602,5 @@ def structured_model_cnt_viols(nlp: Nlp, sm: StructuredModel,
                                x: jax.Array) -> jax.Array:
     a = structured_row_values(nlp, sm, x)
     d = _interval_dist(a, sm.l, sm.u)
-    vals = []
-    start = 0
-    for t, sl in cnt_row_structure(nlp):
-        vals.append(jnp.sum(d[start:start + t.n_rows]))
-        start += t.n_rows
-    return jnp.stack(vals) if vals else jnp.zeros((0,), x.dtype)
+    vals = [_group_reduce(d[sl], t) for t, sl, _ in cnt_group_structure(nlp)]
+    return jnp.concatenate(vals) if vals else jnp.zeros((0,), x.dtype)

@@ -41,7 +41,7 @@ def solve_reference(nlp: Nlp, x0, lb, ub, params: Any = None,
     params = params or {}
     x = np.clip(np.asarray(x0, float).reshape(-1), lb, ub)
     n = nlp.n
-    n_cnt = nlp.num_cnt_sets
+    n_cnt = nlp_mod.num_cnt_groups(nlp)
 
     # Hash-keyed LRU over exact evaluations, the role the collision-result
     # cache plays in the reference's merit loop
@@ -61,6 +61,8 @@ def solve_reference(nlp: Nlp, x0, lb, ub, params: Any = None,
     box = sqp.initial_trust_box_size
     n_qp = 0
     total_iter = 0
+    import time as _time
+    t_start = _time.monotonic()
 
     def merit(cv, viols, mc):
         return float(cv.sum() + (mc * viols).sum())
@@ -68,6 +70,11 @@ def solve_reference(nlp: Nlp, x0, lb, ub, params: Any = None,
     for merit_round in range(sqp.max_merit_coeff_increases):
         converged_small = False
         for it in range(1, sqp.max_iter + 1):
+            # Wall-clock budget (optimizers.cpp max_time check at the top
+            # of each SQP iteration -> OPT_TIME_LIMIT).
+            if _time.monotonic() - t_start > sqp.max_time:
+                return RefResult(x, SQPStatus.TIME_LIMIT, cost_vals,
+                                 cnt_viols, total_iter, n_qp)
             total_iter += 1
             xj = jnp.asarray(x)
             m = nlp_mod.convexify(nlp, xj, params)

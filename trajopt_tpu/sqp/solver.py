@@ -43,7 +43,9 @@ class SQPResult(NamedTuple):
     x: jax.Array            # [n] final iterate
     status: jax.Array       # int32, SQPStatus code
     cost_vals: jax.Array    # [n_cost_sets] exact per-set costs at x
-    cnt_viols: jax.Array    # [n_cnt_sets] exact per-set violations at x
+    cnt_viols: jax.Array    # [num_cnt_groups] exact violations at x, one
+    #                         entry per merit unit (per step/gap for
+    #                         grouped collision sets; see nlp.TermSet.groups)
     total_cost: jax.Array
     merit_coeffs: jax.Array
     box_size: jax.Array
@@ -89,23 +91,27 @@ _SHRINKING, _ACCEPTED, _CONVERGED_SMALL, _QP_FAILED = 0, 1, 2, 3
 
 def _structured_cnt_coeffs(nlp: Nlp, merit_coeffs: jax.Array, dtype) -> jax.Array:
     """Merit coeffs expanded over ALL structured rows (cnt rows get their
-    set's coeff; trailing penalty-cost rows get a placeholder overwritten
+    group's coeff; trailing penalty-cost rows get a placeholder overwritten
     by pen_w)."""
     from trajopt_tpu.sqp import nlp as _nm
-    parts = [jnp.full((t.n_rows,), 1.0, dtype) * merit_coeffs[k]
-             for k, (t, _) in enumerate(_nm.cnt_row_structure(nlp))]
+    parts = [_cnt_row_coeffs(nlp, merit_coeffs, dtype)]
     n_pen = sum(t.n_rows for t, _ in _nm.cost_row_structure(nlp)
                 if t.kind in _nm.PENALTY_COST_KINDS)
     parts.append(jnp.zeros((n_pen,), dtype))
-    if not parts:
-        return jnp.zeros((0,), dtype)
     return jnp.concatenate(parts)
 
 
 def _cnt_row_coeffs(nlp: Nlp, merit_coeffs: jax.Array, dtype) -> jax.Array:
-    """Expand per-set merit coefficients to per-row penalty weights."""
-    parts = [jnp.full((t.n_rows,), 1.0, dtype) * merit_coeffs[k]
-             for k, (t, _) in enumerate(nlp_mod.cnt_row_structure(nlp))]
+    """Expand per-group merit coefficients to per-row penalty weights
+    (each row takes its group's coefficient — the reference's
+    per-Constraint merit_error_coeffs, optimizers.cpp:947-959)."""
+    parts = []
+    for t, _, gsl in nlp_mod.cnt_group_structure(nlp):
+        cg = merit_coeffs[gsl].astype(dtype)
+        if t.groups is None:
+            parts.append(jnp.broadcast_to(cg, (t.n_rows,)))
+        else:
+            parts.append(cg[jnp.asarray(t.groups)])
     if not parts:
         return jnp.zeros((0,), dtype)
     return jnp.concatenate(parts)
@@ -160,7 +166,9 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
 
     n = nlp.n
     n_cost = nlp.num_cost_sets
-    n_cnt = nlp.num_cnt_sets
+    # Merit units: one per constraint group (per step/gap for collision
+    # sets), matching the reference's one-Constraint-per-step hatching.
+    n_cnt = nlp_mod.num_cnt_groups(nlp)
     m_total = num_qp_rows(nlp)
     use_block = False
     if structured:
@@ -266,7 +274,12 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
             old_merit = merit(state.cost_vals, state.cnt_viols, state.merit_coeffs)
 
             def cond(ts: _TrustState):
-                return (~ts.done) & (ts.box_size >= sqp.min_trust_box_size)
+                # Bounded by box shrink like the reference's inner while
+                # (optimizers.cpp:811), plus the static max_trust_iter cap
+                # (a compile-time bound on QP solves per convexification).
+                return ((~ts.done) & (ts.box_size >= sqp.min_trust_box_size)
+                        & (ts.n_qp_solves - state.n_qp_solves
+                           < sqp.max_trust_iter))
 
             def body(ts: _TrustState) -> _TrustState:
                 # Trust box = var bounds clamped around the current iterate

@@ -14,13 +14,20 @@ Re-creates the reference's collision term stack
   sub-segmentation, SURVEY.md par. 3.4).
 * fixed steps are excluded exactly like CollisionTermInfo::hatch
   (problem_description.cpp:1714-1759).
+* merit granularity: one constraint group per step/gap, matching the
+  reference's one-Constraint-per-step hatching (pd.cpp:1726-1770).
+* ``aggregate="weighted_average"``: the ifopt stack's fixed-size
+  formulation — per-LINK-PAIR contact sets, row value = max error in the
+  set, row gradient = error-weighted average of the member gradients
+  (weighted_average_methods.cpp:31-108, discrete_collision_constraint.cpp:
+  60-140), with ``safety_margin_buffer`` extending the weighting band.
 
 TPU-native differences: contact counts are static (all candidate pairs
 every step — the fixed-size formulation the ifopt stack's ``max_num_cnt``
 approximates, ``trajopt_common collision_types.h:162``); gradients come
-from autodiff through FK + distance instead of ``+/- n^T J`` assembly; the
-worst sub-state min is the autodiff subgradient at the argmin, matching the
-reference's choice of linearizing the worst contact.
+from pose-space analytic composition instead of ``+/- n^T J`` assembly;
+the worst sub-state min is the autodiff subgradient at the argmin,
+matching the reference's choice of linearizing the worst contact.
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ from trajopt_tpu.collision.world import CollisionScene
 from trajopt_tpu.sqp.nlp import Kind, TermSet
 
 EVALUATORS = ("discrete", "lvs_discrete", "cast")
+AGGREGATES = ("none", "weighted_average")
 
 
 def _per_pair(scene: CollisionScene, value, overrides) -> np.ndarray:
@@ -54,11 +62,47 @@ def _per_pair(scene: CollisionScene, value, overrides) -> np.ndarray:
     return out
 
 
+def _step_pair_matrix(scene: CollisionScene, value, overrides,
+                      n_steps: int) -> np.ndarray:
+    """[n_steps, n_pairs] coeff/margin data: `value` is a scalar or a
+    per-timestep vector (the reference's per-step coeff/dist_pen data in
+    TrajOptCollisionConfig); per-pair overrides (keyed by link or geom
+    names) replace the value for that pair at every step
+    (problem_description.cpp:1700-1710 `pairs` semantics)."""
+    arr = np.asarray(value, float).reshape(-1)
+    if arr.size == 1:
+        step_vals = np.full(n_steps, arr[0])
+    elif arr.size == n_steps:
+        step_vals = arr
+    else:
+        raise ValueError(
+            f"collision coeff/margin must be a scalar or length-{n_steps} "
+            f"per-timestep vector, got length {arr.size}")
+    M = np.tile(step_vals[:, None], (1, scene.n_pairs))
+    if overrides:
+        ov = _per_pair(scene, np.nan, overrides)
+        mask = ~np.isnan(ov)
+        M[:, mask] = ov[mask]
+    return M
+
+
+def _link_pair_partition(scene: CollisionScene):
+    """Static partition of candidate geom pairs by LINK pair (the unit the
+    ifopt stack's GradientResultsSet aggregates over)."""
+    pairs = scene.pairs()
+    lp_of: dict = {}
+    lp_index = np.zeros(len(pairs), np.int32)
+    for i, (ga, gb) in enumerate(pairs):
+        key = tuple(sorted((ga.link or ga.name, gb.link or gb.name)))
+        lp_index[i] = lp_of.setdefault(key, len(lp_of))
+    return lp_index, len(lp_of)
+
+
 def collision_term(
     scene: CollisionScene,
     n_steps: int,
     *,
-    margin: float,
+    margin,
     coeff=20.0,
     is_cost: bool = True,
     evaluator: str = "discrete",
@@ -69,18 +113,31 @@ def collision_term(
     pair_coeffs: dict | None = None,
     pair_margins: dict | None = None,
     max_num_cnt: int | None = None,
+    aggregate: str = "none",
+    safety_margin_buffer: float = 0.0,
     n_dof_total: int | None = None,
     name: str | None = None,
 ) -> TermSet:
     """Build the collision TermSet (CollisionTermInfo::hatch analog).
 
-    ``pair_coeffs`` / ``pair_margins`` override coeff/margin per link or
-    geometry pair (CollisionCoeffData semantics).  ``max_num_cnt`` keeps
-    only the k most-violating pairs per step/gap via top_k — the fixed-size
-    contact cap of collision_types.h:162 with static shapes.
+    ``margin`` / ``coeff`` accept scalars or per-timestep vectors;
+    ``pair_coeffs`` / ``pair_margins`` override them per link or geometry
+    pair (CollisionCoeffData semantics).  ``max_num_cnt`` keeps only the k
+    most-violating rows per step/gap via top_k — the fixed-size contact cap
+    of collision_types.h:162 with static shapes.
+
+    ``aggregate="weighted_average"`` switches to the ifopt stack's
+    fixed-size formulation: one row per LINK pair whose value is the max
+    member error and whose Jacobian is the error-weighted average of the
+    member gradients (weights ``max(0, margin + safety_margin_buffer - d)``,
+    weighted_average_methods.cpp:31-108); ``max_num_cnt`` then caps link
+    pairs.  At large pair counts this caps QP rows with better gradient
+    quality than hard top-k over raw pairs.
     """
     if evaluator not in EVALUATORS:
         raise ValueError(f"evaluator must be one of {EVALUATORS}")
+    if aggregate not in AGGREGATES:
+        raise ValueError(f"aggregate must be one of {AGGREGATES}")
     n_dof = scene.tree.n_dof
     n_dof_total = n_dof_total or n_dof
     if last_step <= -1:
@@ -89,43 +146,94 @@ def collision_term(
     if n_pairs_full == 0:
         raise ValueError("collision scene has no candidate pairs")
     name = name or f"collision_{evaluator}"
-    coeff_full = _per_pair(scene, coeff, pair_coeffs)
-    margin_full = _per_pair(scene, margin, pair_margins)
+    coeff_mat = _step_pair_matrix(scene, coeff, pair_coeffs, n_steps)
+    margin_mat = _step_pair_matrix(scene, margin, pair_margins, n_steps)
+    buf = float(safety_margin_buffer)
 
-    topk = max_num_cnt is not None and max_num_cnt < n_pairs_full
-    k_pairs = max_num_cnt if topk else n_pairs_full
+    use_wavg = aggregate == "weighted_average"
+    if use_wavg:
+        lp_index, n_lp = _link_pair_partition(scene)
+        lp_index_j = jnp.asarray(lp_index)
+        n_units = n_lp
+    else:
+        n_units = n_pairs_full
 
-    def select_pairs(viol_rows):
-        """viol_rows [..., n_pairs] -> top-k by violation, static shape.
-        Gradients flow through the gathered entries (the reference
-        linearizes exactly the selected worst contacts)."""
-        if not topk:
-            return viol_rows
-        vals, idx = jax.lax.top_k(viol_rows, k_pairs)
-        return vals
+    topk = max_num_cnt is not None and max_num_cnt < n_units
+    k_rows = max_num_cnt if topk else n_units
+
+    def _seg_max(viol):
+        # segment ops reduce over the LEADING axis; move pairs there.
+        v = jnp.moveaxis(viol, -1, 0)
+        out = jax.ops.segment_max(v, lp_index_j, num_segments=n_lp)
+        return jnp.moveaxis(out, 0, -1)
+
+    def _seg_sum(v):
+        vv = jnp.moveaxis(v, -1, 0)
+        out = jax.ops.segment_sum(vv, lp_index_j, num_segments=n_lp)
+        return jnp.moveaxis(out, 0, -1)
+
+    def _aggregate_viol(viol, coeff_sl):
+        """viol [..., P] (coeff-scaled) -> per-unit rows [..., n_units]."""
+        if not use_wavg:
+            return viol
+        return _seg_max(viol)
+
+    def _aggregate_jacs(viol, coeff_sl, jacs):
+        """Error-weighted average of member Jacobians per link pair.
+
+        viol: [..., P] coeff-scaled errors; weights use the buffered error
+        ``viol + coeff*buffer`` (= coeff*(margin + buffer - d), matching
+        error_with_buffer in weighted_average_methods.cpp; the coeff scale
+        cancels in the normalized weights when uniform within a pair set).
+        jacs: tuple of [..., P, D] arrays sharing the weights (T0/T1).
+        """
+        if not use_wavg:
+            return viol, jacs
+        w = jnp.maximum(viol + coeff_sl * buf, 0.0)           # [..., P]
+        tot = _seg_sum(w)                                     # [..., L]
+        safe = jnp.where(tot > 0.0, tot, 1.0)
+        out_jacs = []
+        for J in jacs:
+            num = _seg_sum_last2(w[..., None] * J)
+            out_jacs.append(jnp.where((tot > 0.0)[..., None],
+                                      num / safe[..., None], 0.0))
+        return _seg_max(viol), tuple(out_jacs)
+
+    def _seg_sum_last2(v):
+        """segment-sum over the second-to-last (pair) axis of [..., P, D]."""
+        vv = jnp.moveaxis(v, -2, 0)
+        out = jax.ops.segment_sum(vv, lp_index_j, num_segments=n_lp)
+        return jnp.moveaxis(out, 0, -2)
 
     if evaluator == "discrete":
         steps = [t for t in range(first_step, last_step + 1)
                  if t not in fixed_steps]
         steps_arr = np.asarray(steps)
-        n_rows = len(steps) * k_pairs
+        S = len(steps)
+        n_rows = S * k_rows
+        coeff_sl = coeff_mat[steps_arr]            # [S, P]
+        margin_sl = margin_mat[steps_arr]
+
+        def _viol(ds, dtype):
+            return (jnp.asarray(coeff_sl, dtype) *
+                    (jnp.asarray(margin_sl, dtype) - ds))
 
         def raw(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
             ds = jax.vmap(lambda q: scene.distances(q, params))(
                 qs[steps_arr])                             # [S, n_pairs]
-            viol = jnp.asarray(coeff_full, x.dtype) * \
-                (jnp.asarray(margin_full, x.dtype) - ds)
-            return select_pairs(viol).reshape(-1)
+            viol = _viol(ds, x.dtype)
+            rows = _aggregate_viol(viol, jnp.asarray(coeff_sl, x.dtype))
+            if topk:
+                rows, _ = jax.lax.top_k(rows, k_rows)
+            return rows.reshape(-1)
 
         # Block-structured Jacobian: each row depends on ONE timestep's
         # n_dof joints — differentiate per step (n_dof tangents instead of
         # n_steps*n_dof) and scatter into the dense matrix (the banded
         # structure the reference's VarArray terms exploit implicitly).
-        # With the top-k cap the row->pair mapping is data-dependent, but
-        # selection happens WITHIN a step, so rows stay step-local and the
-        # banded form survives — gather the selected Jacobian rows.
-        S = len(steps)
+        # Top-k / weighted-average selection happens WITHIN a step, so rows
+        # stay step-local and the banded form survives.
         onehot = np.zeros((S, n_steps), np.float64)
         onehot[np.arange(S), steps_arr] = 1.0
 
@@ -137,14 +245,22 @@ def collision_term(
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
             ds, Js = jax.vmap(
                 lambda q: scene.distances_and_jac(q, params))(qs[steps_arr])
-            return ds, -Js * jnp.asarray(coeff_full, x.dtype)[None, :, None]
+            return ds, -Js * jnp.asarray(coeff_sl, x.dtype)[:, :, None]
 
-        def _viol(ds, dtype):
-            return (jnp.asarray(coeff_full, dtype) *
-                    (jnp.asarray(margin_full, dtype) - ds))
+        def _select_rows(ds, Js, dtype):
+            """(viol rows [S, k], jac rows [S, k, n_dof]) after aggregation
+            and the optional within-step top-k (max_num_cnt)."""
+            viol = _viol(ds, dtype)
+            if use_wavg:
+                viol, (Js,) = _aggregate_jacs(
+                    viol, jnp.asarray(coeff_sl, dtype), (Js,))
+            if not topk:
+                return viol, Js
+            vals, idx = jax.lax.top_k(viol, k_rows)
+            return vals, jnp.take_along_axis(Js, idx[..., None], axis=1)
 
         def _scatter_jac(Js, dtype):
-            k = Js.shape[1]  # n_pairs_full or k_pairs (top-k selected)
+            k = Js.shape[1]
             J = jnp.einsum("spd,st->sptd", Js, jnp.asarray(onehot, dtype))
             out = jnp.zeros((S, k, n_steps, n_dof_total), dtype)
             out = out.at[..., :n_dof].set(J)
@@ -160,20 +276,17 @@ def collision_term(
             return vals.reshape(-1), _scatter_jac(Jsel, x.dtype)
 
         band_width = n_dof_total
-        band_starts = np.repeat(steps_arr * n_dof_total, k_pairs)
-
-        def _select_rows(ds, Js, dtype):
-            """(viol [S, k], jac rows [S, k, n_dof]) after the optional
-            within-step top-k (collision_types.h:162 max_num_cnt)."""
-            viol = _viol(ds, dtype)
-            if not topk:
-                return viol, Js
-            vals, idx = jax.lax.top_k(viol, k_pairs)
-            return vals, jnp.take_along_axis(Js, idx[..., None], axis=1)
+        band_starts = np.repeat(steps_arr * n_dof_total, k_rows)
+        # Merit granularity: one group per STEP, matching the reference's
+        # one-CollisionCost/Constraint-per-step hatching
+        # (problem_description.cpp:1726-1770) so per-constraint merit
+        # inflation and the cnt_tolerance check operate per step.
+        row_groups = np.repeat(np.arange(S), k_rows)
+        n_row_groups = S
 
         def _W_of(Js, dtype):
-            W = jnp.zeros((S * k_pairs, band_width), dtype)
-            return W.at[:, :n_dof].set(Js.reshape(S * k_pairs, n_dof))
+            W = jnp.zeros((S * k_rows, band_width), dtype)
+            return W.at[:, :n_dof].set(Js.reshape(S * k_rows, n_dof))
 
         def banded_jac(x, params):
             ds, Js = _step_vals_blocks(x, params)
@@ -195,6 +308,10 @@ def collision_term(
         gaps = [t for t in range(first_step, last_step)
                 if not (t in fixed_steps and (t + 1) in fixed_steps)]
         fracs = np.linspace(0.0, 1.0, lvs_substeps + 1)
+        gaps_arr = np.asarray(gaps)
+        G = len(gaps)
+        coeff_sl = coeff_mat[gaps_arr][:, None, :]     # [G, 1, P]
+        margin_sl = margin_mat[gaps_arr][:, None, :]
 
         if evaluator == "lvs_discrete":
             n_sub = lvs_substeps + 1
@@ -213,19 +330,23 @@ def collision_term(
                     ds.append(scene.swept_distances(qa, qb, params))
                 return jnp.stack(ds)                        # [n_sub, n_pairs]
 
-        n_rows = len(gaps) * n_sub * k_pairs
-        gaps_arr = np.asarray(gaps)
+        n_rows = G * n_sub * k_rows
+
+        def _viol(ds, dtype):
+            return (jnp.asarray(coeff_sl, dtype) *
+                    (jnp.asarray(margin_sl, dtype) - ds))
 
         def raw(x, params):
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
             ds = jax.vmap(lambda a, b: gap_dists(a, b, params))(
                 qs[gaps_arr], qs[gaps_arr + 1])
-            viol = jnp.asarray(coeff_full, x.dtype) * \
-                (jnp.asarray(margin_full, x.dtype) - ds)
-            return select_pairs(viol).reshape(-1)
+            viol = _viol(ds, x.dtype)
+            rows = _aggregate_viol(viol, jnp.asarray(coeff_sl, x.dtype))
+            if topk:
+                rows, _ = jax.lax.top_k(rows, k_rows)
+            return rows.reshape(-1)
 
         # Per-gap Jacobian: rows couple exactly two adjacent steps.
-        G = len(gaps)
         onehot0 = np.zeros((G, n_steps), np.float64)
         onehot0[np.arange(G), gaps_arr] = 1.0
         onehot1 = np.zeros((G, n_steps), np.float64)
@@ -265,26 +386,26 @@ def collision_term(
                             jnp.stack(J1_k))
 
             ds, J0, J1 = jax.vmap(one)(qs[gaps_arr], qs[gaps_arr + 1])
-            cf = jnp.asarray(coeff_full, x.dtype)[None, None, :, None]
+            cf = jnp.asarray(coeff_sl, x.dtype)[..., None]
             return ds, -J0 * cf, -J1 * cf  # [G, n_sub, n_pairs(, n_dof)]
 
-        def _viol(ds, dtype):
-            return (jnp.asarray(coeff_full, dtype) *
-                    (jnp.asarray(margin_full, dtype) - ds))
-
         def _select_rows(ds, J0, J1, dtype):
-            """Optional within-(gap, sub-segment) top-k: rows stay inside
-            the same two-step window, so the banded form survives."""
+            """Aggregation + optional within-(gap, sub-segment) top-k: rows
+            stay inside the same two-step window, so the banded form
+            survives."""
             viol = _viol(ds, dtype)                 # [G, n_sub, n_pairs]
+            if use_wavg:
+                viol, (J0, J1) = _aggregate_jacs(
+                    viol, jnp.asarray(coeff_sl, dtype), (J0, J1))
             if not topk:
                 return viol, J0, J1
-            vals, idx = jax.lax.top_k(viol, k_pairs)
+            vals, idx = jax.lax.top_k(viol, k_rows)
             take = lambda J: jnp.take_along_axis(  # noqa: E731
                 J, idx[..., None], axis=2)
             return vals, take(J0), take(J1)
 
         def _scatter_jac(J0, J1, dtype):
-            k = J0.shape[2]  # n_pairs_full or k_pairs (top-k selected)
+            k = J0.shape[2]
             oh0 = jnp.asarray(onehot0, dtype)
             oh1 = jnp.asarray(onehot1, dtype)
             J = jnp.einsum("gkpd,gt->gkptd", J0, oh0) + \
@@ -304,10 +425,14 @@ def collision_term(
             return vals.reshape(-1), _scatter_jac(J0s, J1s, x.dtype)
 
         band_width = 2 * n_dof_total
-        band_starts = np.repeat(gaps_arr * n_dof_total, n_sub * k_pairs)
+        band_starts = np.repeat(gaps_arr * n_dof_total, n_sub * k_rows)
+        # One merit group per GAP (the reference hatches one cast/LVS
+        # Constraint per gap; its LVS sub-rows share that constraint).
+        row_groups = np.repeat(np.arange(G), n_sub * k_rows)
+        n_row_groups = G
 
         def _W_of(J0, J1, dtype):
-            m_rows = G * n_sub * k_pairs
+            m_rows = G * n_sub * k_rows
             W = jnp.zeros((m_rows, band_width), dtype)
             W = W.at[:, :n_dof].set(J0.reshape(m_rows, n_dof))
             W = W.at[:, n_dof_total:n_dof_total + n_dof].set(
@@ -325,11 +450,13 @@ def collision_term(
 
     # Coefficients are folded into the residual rows (reference convention:
     # constraint violations and hinge values include the coeff), so the
-    # hinge weight is 1.  All paths (dense, banded, top-k capped) provide
-    # analytic Jacobians: top-k selection is within a step/gap window, so
-    # the gathered rows keep the banded structure.
+    # hinge weight is 1.  All paths (dense, banded, aggregated, top-k
+    # capped) provide analytic Jacobians: selection is within a step/gap
+    # window, so the gathered rows keep the banded structure.
     kind = Kind.COST_HINGE if is_cost else Kind.CNT_INEQ
     return TermSet(name, kind, raw, n_rows, jac_fn=jac,
                    banded_jac=banded_jac, band_starts=band_starts,
                    band_width=band_width, val_jac_fn=val_jac,
-                   val_banded_jac=val_banded_jac)
+                   val_banded_jac=val_banded_jac,
+                   groups=None if is_cost else row_groups,
+                   n_groups=1 if is_cost else n_row_groups)
