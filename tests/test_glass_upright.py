@@ -64,3 +64,41 @@ def test_glass_upright_solve():
     # collision margins respected at all steps
     for q in traj:
         assert float(jnp.min(scene.distances(jnp.asarray(q)))) >= 0.02 - 1e-3
+
+
+def test_glass_upright_structured_path():
+    """Cartesian terms provide banded_jac, so cart-goal problems run on
+    the structured (block-banded) QP path and match the dense path."""
+    tree = arm7()
+    scene = arm7_scene()
+    n = 5
+    tool = tree.link_id("tool0")
+    R_home, _ = tree.fk(jnp.asarray(ARM7_HOME))
+    _, p_goal = tree.fk(jnp.asarray(ARM7_GOAL))
+    R_up = np.asarray(R_home[tool])
+
+    prob = TrajOptProblem(n_steps=n, n_dof=7, joint_lower=tree.lower,
+                          joint_upper=tree.upper, fixed_steps=[0])
+    prob.add_term(joint_vel(n, 7, is_cost=True, coeffs=np.full(7, 5.0)))
+    prob.add_term(cart_pose(tree, "tool0", n, n - 1, is_cost=False,
+                            target=np.asarray(p_goal[tool]),
+                            indices=[0, 1, 2], name="goal_pos"))
+    for t in range(1, n):
+        prob.add_term(cart_pose(tree, "tool0", n, t, is_cost=True,
+                                target=(R_up, np.zeros(3)),
+                                indices=[3, 4], coeffs=[10.0, 10.0],
+                                name=f"upright_t{t}"))
+    prob.add_term(collision_term(scene, n, margin=0.02, coeff=20.0,
+                                 is_cost=False, fixed_steps=[0]))
+
+    init = interpolated_init(jnp.asarray(ARM7_HOME), jnp.asarray(ARM7_GOAL), n)
+    res_d = prob.make_solve()(init)
+    res_s = prob.make_solve(structured=True)(init)
+    assert int(res_d.status) == SQPStatus.CONVERGED
+    assert int(res_s.status) == SQPStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(res_s.x), np.asarray(res_d.x),
+                               atol=2e-3)
+    traj = np.asarray(res_s.x).reshape(n, 7)
+    _, p_end = tree.fk(jnp.asarray(traj[-1]))
+    np.testing.assert_allclose(np.asarray(p_end[tool]),
+                               np.asarray(p_goal[tool]), atol=1e-3)

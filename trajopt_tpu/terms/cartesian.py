@@ -36,6 +36,36 @@ def _step_q(x, t, n_steps, n_dof_total, n_dof):
     return x.reshape(n_steps, n_dof_total)[t, :n_dof]
 
 
+def _step_local_banded(rows_of_q, timestep, n_rows, n_steps, n_dof_total,
+                       n_dof):
+    """Banded-Jacobian providers for a term whose rows depend on ONE
+    timestep's joints (all cartesian pose-style terms are step-local, so
+    their QP rows are width-n_dof windows — the structure the reference's
+    sparse constraint Jacobians expose, trajopt_ifopt cartesian_*).
+
+    Returns (banded_jac, val_banded_jac, band_starts, band_width) for
+    TermSet so `make_solver(structured=True)` accepts the term.
+    """
+    import jax
+
+    band_starts = np.full((n_rows,), timestep * n_dof_total)
+
+    def banded_jac(x, params):
+        q = _step_q(x, timestep, n_steps, n_dof_total, n_dof)
+        J = jax.jacfwd(lambda qq: rows_of_q(qq, params))(q)
+        W = jnp.zeros((n_rows, n_dof_total), x.dtype)
+        return W.at[:, :n_dof].set(J)
+
+    def val_banded_jac(x, params):
+        q = _step_q(x, timestep, n_steps, n_dof_total, n_dof)
+        r, vjp = jax.vjp(lambda qq: rows_of_q(qq, params), q)
+        J = jax.vmap(lambda e: vjp(e)[0])(jnp.eye(n_rows, dtype=x.dtype))
+        W = jnp.zeros((n_rows, n_dof_total), x.dtype)
+        return r, W.at[:, :n_dof].set(J)
+
+    return banded_jac, val_banded_jac, band_starts, n_dof_total
+
+
 def _as_pose(pose):
     """Accept (R, p), 4x4, or p-only (identity rotation)."""
     if pose is None:
@@ -81,9 +111,8 @@ def cart_pose(
     lo = np.zeros(6) if lower_tolerance is None else np.asarray(lower_tolerance)
     name = name or f"cart_pose_{link}_t{timestep}"
 
-    def err6(x, params):
-        dtype = x.dtype
-        q = _step_q(x, timestep, n_steps, n_dof_total, n_dof)
+    def err6_q(q, params):
+        dtype = q.dtype
         R, p = tree.fk(q)
         R_src, p_src = compose(R[link_id], p[link_id],
                                jnp.asarray(R_tcp, dtype), jnp.asarray(p_tcp, dtype))
@@ -101,12 +130,21 @@ def cart_pose(
             e = apply_tolerances(e, jnp.asarray(lo, dtype), jnp.asarray(up, dtype))
         return e[idx]
 
-    if is_cost:
-        return TermSet(name, Kind.COST_ABS, err6, len(idx),
-                       weight_fn=lambda p: jnp.asarray(cfs))
-    return TermSet(name, Kind.CNT_EQ,
-                   lambda x, p: err6(x, p) * jnp.asarray(cfs, x.dtype),
-                   len(idx))
+    def rows_q(q, params):
+        if is_cost:
+            return err6_q(q, params)
+        return err6_q(q, params) * jnp.asarray(cfs, q.dtype)
+
+    fn = lambda x, p: rows_q(  # noqa: E731
+        _step_q(x, timestep, n_steps, n_dof_total, n_dof), p)
+    bj, vbj, starts, width = _step_local_banded(
+        rows_q, timestep, len(idx), n_steps, n_dof_total, n_dof)
+    kind = Kind.COST_ABS if is_cost else Kind.CNT_EQ
+    weight = (lambda p: jnp.asarray(cfs)) if is_cost else \
+        (lambda p: jnp.asarray(1.0))
+    return TermSet(name, kind, fn, len(idx), weight_fn=weight,
+                   banded_jac=bj, val_banded_jac=vbj,
+                   band_starts=starts, band_width=width)
 
 
 def dynamic_cart_pose(
@@ -136,9 +174,8 @@ def dynamic_cart_pose(
     R_ttcp, p_ttcp = _as_pose(target_tcp)
     name = name or f"dyn_cart_pose_{source_link}_{target_link}_t{timestep}"
 
-    def err(x, params):
-        dtype = x.dtype
-        q = _step_q(x, timestep, n_steps, n_dof_total, n_dof)
+    def err_q(q, params):
+        dtype = q.dtype
         R, p = tree.fk(q)
         R_s, p_s = compose(R[src_id], p[src_id],
                            jnp.asarray(R_tcp, dtype), jnp.asarray(p_tcp, dtype))
@@ -146,11 +183,21 @@ def dynamic_cart_pose(
                            jnp.asarray(R_ttcp, dtype), jnp.asarray(p_ttcp, dtype))
         return transform_error(R_t, p_t, R_s, p_s)[idx]
 
-    if is_cost:
-        return TermSet(name, Kind.COST_ABS, err, len(idx),
-                       weight_fn=lambda p: jnp.asarray(cfs))
-    return TermSet(name, Kind.CNT_EQ,
-                   lambda x, p: err(x, p) * jnp.asarray(cfs, x.dtype), len(idx))
+    def rows_q(q, params):
+        if is_cost:
+            return err_q(q, params)
+        return err_q(q, params) * jnp.asarray(cfs, q.dtype)
+
+    fn = lambda x, p: rows_q(  # noqa: E731
+        _step_q(x, timestep, n_steps, n_dof_total, n_dof), p)
+    bj, vbj, starts, width = _step_local_banded(
+        rows_q, timestep, len(idx), n_steps, n_dof_total, n_dof)
+    kind = Kind.COST_ABS if is_cost else Kind.CNT_EQ
+    weight = (lambda p: jnp.asarray(cfs)) if is_cost else \
+        (lambda p: jnp.asarray(1.0))
+    return TermSet(name, kind, fn, len(idx), weight_fn=weight,
+                   banded_jac=bj, val_banded_jac=vbj,
+                   band_starts=starts, band_width=width)
 
 
 def cart_vel(
@@ -174,22 +221,41 @@ def cart_vel(
     if last_step <= -1:
         last_step = n_steps - 1
     gaps = list(range(first_step, last_step))
+    gaps_arr = np.asarray(gaps)
     name = name or f"cart_vel_{link}"
     c = 1.0 if coeffs is None else float(np.asarray(coeffs).reshape(()))
+    import jax
+
+    def gap_rows(q0, q1):
+        _, p0 = tree.fk(q0)
+        _, p1 = tree.fk(q1)
+        dp = p1[link_id] - p0[link_id]
+        return jnp.concatenate([dp - max_displacement,
+                                -dp - max_displacement]) * c
 
     def fn(x, params):
         qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-        rows = []
-        for t in gaps:
-            _, p0 = tree.fk(qs[t])
-            _, p1 = tree.fk(qs[t + 1])
-            dp = p1[link_id] - p0[link_id]
-            rows.append(jnp.concatenate([dp - max_displacement,
-                                         -dp - max_displacement]) * c)
-        return jnp.concatenate(rows)
+        return jax.vmap(gap_rows)(qs[gaps_arr], qs[gaps_arr + 1]).reshape(-1)
+
+    # Banded rows: each gap's 6 rows cover the two adjacent steps' joints
+    # (the same two-step window shape as the cast collision rows).
+    G = len(gaps)
+    band_width = 2 * n_dof_total
+    band_starts = np.repeat(gaps_arr * n_dof_total, 6)
+
+    def banded_jac(x, params):
+        qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
+        J0, J1 = jax.vmap(jax.jacfwd(gap_rows, argnums=(0, 1)))(
+            qs[gaps_arr], qs[gaps_arr + 1])            # [G, 6, n_dof]
+        W = jnp.zeros((6 * G, band_width), x.dtype)
+        W = W.at[:, :n_dof].set(J0.reshape(-1, n_dof))
+        W = W.at[:, n_dof_total:n_dof_total + n_dof].set(
+            J1.reshape(-1, n_dof))
+        return W
 
     kind = Kind.COST_HINGE if is_cost else Kind.CNT_INEQ
-    return TermSet(name, kind, fn, 6 * len(gaps))
+    return TermSet(name, kind, fn, 6 * G, banded_jac=banded_jac,
+                   band_starts=band_starts, band_width=band_width)
 
 
 def cart_line(
@@ -226,9 +292,8 @@ def cart_line(
     R_tcp, p_tcp = _as_pose(tcp)
     name = name or f"cart_line_{link}_t{timestep}"
 
-    def err(x, params):
-        dtype = x.dtype
-        q = _step_q(x, timestep, n_steps, n_dof_total, n_dof)
+    def err_q(q, params):
+        dtype = q.dtype
         R, p = tree.fk(q)
         R_src, p_src = compose(R[link_id], p[link_id],
                                jnp.asarray(R_tcp, dtype), jnp.asarray(p_tcp, dtype))
@@ -246,12 +311,21 @@ def cart_line(
         R_line = R1 @ axis_angle_matrix(rv / angle, t * angle)
         return transform_error(R_line, p_line, R_src, p_src)[idx]
 
-    if is_cost:
-        return TermSet(name, Kind.COST_ABS, err, len(idx),
-                       weight_fn=lambda p: jnp.asarray(cfs))
-    return TermSet(name, Kind.CNT_EQ,
-                   lambda x, p: err(x, p) * jnp.asarray(cfs, x.dtype),
-                   len(idx))
+    def rows_q(q, params):
+        if is_cost:
+            return err_q(q, params)
+        return err_q(q, params) * jnp.asarray(cfs, q.dtype)
+
+    fn = lambda x, p: rows_q(  # noqa: E731
+        _step_q(x, timestep, n_steps, n_dof_total, n_dof), p)
+    bj, vbj, starts, width = _step_local_banded(
+        rows_q, timestep, len(idx), n_steps, n_dof_total, n_dof)
+    kind = Kind.COST_ABS if is_cost else Kind.CNT_EQ
+    weight = (lambda p: jnp.asarray(cfs)) if is_cost else \
+        (lambda p: jnp.asarray(1.0))
+    return TermSet(name, kind, fn, len(idx), weight_fn=weight,
+                   banded_jac=bj, val_banded_jac=vbj,
+                   band_starts=starts, band_width=width)
 
 
 def ik_constraint(
@@ -285,16 +359,21 @@ def ik_constraint(
         np.asarray(coeffs, float), (n_dof,))
     name = name or f"ik_{link}_t{timestep}"
 
-    def fn(x, params):
-        q = _step_q(x, timestep, n_steps, n_dof_total, n_dof)
-        return (q - jnp.asarray(q_ik, x.dtype)) * jnp.asarray(cfs, x.dtype)
+    def rows_q(q, params):
+        if is_cost:
+            return q - jnp.asarray(q_ik, q.dtype)
+        return (q - jnp.asarray(q_ik, q.dtype)) * jnp.asarray(cfs, q.dtype)
 
+    fn = lambda x, p: rows_q(  # noqa: E731
+        _step_q(x, timestep, n_steps, n_dof_total, n_dof), p)
+    bj, vbj, starts, width = _step_local_banded(
+        rows_q, timestep, n_dof, n_steps, n_dof_total, n_dof)
     kind = Kind.COST_SQ if is_cost else Kind.CNT_EQ
-    if is_cost:
-        return TermSet(name, kind, lambda x, p: _step_q(
-            x, timestep, n_steps, n_dof_total, n_dof) - jnp.asarray(q_ik, x.dtype),
-            n_dof, weight_fn=lambda p: jnp.asarray(cfs))
-    return TermSet(name, kind, fn, n_dof)
+    weight = (lambda p: jnp.asarray(cfs)) if is_cost else \
+        (lambda p: jnp.asarray(1.0))
+    return TermSet(name, kind, fn, n_dof, weight_fn=weight, linear=True,
+                   banded_jac=bj, val_banded_jac=vbj,
+                   band_starts=starts, band_width=width)
 
 
 def avoid_singularity(
@@ -327,16 +406,29 @@ def avoid_singularity(
     threshold = 1.0 / (0.1 + lambda_)
     cols = None if joints is None else np.asarray(list(joints))
 
+    steps_arr = np.asarray(steps)
+    import jax
+
+    def err_one(q):
+        J = tree.jacobian(q, link)
+        if cols is not None:
+            J = J[:, cols]
+        s = jnp.linalg.svd(J, compute_uv=False)
+        return 1.0 / (s[-1] + lambda_) - threshold
+
     def fn(x, params):
         qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
-        vals = []
-        for t in steps:
-            J = tree.jacobian(qs[t], link)
-            if cols is not None:
-                J = J[:, cols]
-            s = jnp.linalg.svd(J, compute_uv=False)
-            vals.append(1.0 / (s[-1] + lambda_) - threshold)
-        return jnp.stack(vals)
+        return jax.vmap(err_one)(qs[steps_arr])
+
+    band_starts = steps_arr * n_dof_total
+
+    def banded_jac(x, params):
+        qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
+        g = jax.vmap(jax.grad(err_one))(qs[steps_arr])     # [S, n_dof]
+        W = jnp.zeros((len(steps), n_dof_total), x.dtype)
+        return W.at[:, :n_dof].set(g)
 
     return TermSet(name, Kind.COST_HINGE, fn, len(steps),
-                   weight_fn=lambda p: jnp.asarray(coeff))
+                   weight_fn=lambda p: jnp.asarray(coeff),
+                   banded_jac=banded_jac, band_starts=band_starts,
+                   band_width=n_dof_total)
