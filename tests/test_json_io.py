@@ -273,3 +273,141 @@ def test_avoid_singularity_json_term():
     jp = construct_problem(doc, env)
     res = jp.solve()
     assert int(res.status) == SQPStatus.CONVERGED
+
+
+def test_collision_pairs_and_buffer_json():
+    """`pairs` per-link-pair coeff/dist_pen overrides
+    (problem_description.cpp:1700-1710) + use_weighted_sum +
+    safety_margin_buffer flow through to the term."""
+    scene = spherebot_scene()
+    env = Environment(tree=scene.tree, scene=scene)
+    doc = {
+        "basic_info": {"n_steps": 1, "manip": "manipulator"},
+        "costs": [
+            {"type": "joint_pos",
+             "params": {"targets": [0.0, 0.0], "first_step": 0,
+                        "last_step": 0}},
+        ],
+        "constraints": [
+            {"type": "collision",
+             "params": {"coeffs": 1, "dist_pen": 0.2, "evaluator_type": 1,
+                        "safety_margin_buffer": 0.05,
+                        "use_weighted_sum": True,
+                        "pairs": [{"link": "ball",
+                                   "pair": ["obstacle"],
+                                   "coeffs": 3.0, "dist_pen": 0.4}]}},
+        ],
+        "init_info": {"type": "given_traj", "data": [[-0.75, 0.75]]},
+    }
+    jp = construct_problem(doc, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    # overridden margin 0.4 is enforced (base 0.2 would allow closer)
+    d = float(scene.distances(jnp.asarray(np.asarray(res.x)))[0])
+    assert d >= 0.4 - 1e-3
+
+
+def test_collision_per_timestep_vectors_json():
+    scene = spherebot_scene()
+    env = Environment(tree=scene.tree, scene=scene)
+    doc = {
+        "basic_info": {"n_steps": 3, "manip": "manipulator"},
+        "costs": [{"type": "joint_vel", "params": {"coeffs": [1, 1]}}],
+        "constraints": [
+            {"type": "collision",
+             "params": {"coeffs": [1, 1, 1], "dist_pen": [0.2, 0.3, 0.2],
+                        "evaluator_type": 1}},
+            {"type": "joint_pos",
+             "params": {"targets": [-0.9, 0.9], "first_step": 0,
+                        "last_step": 0}},
+        ],
+        "init_info": {"type": "given_traj",
+                      "data": [[-0.9, 0.9], [-0.8, 0.85], [-0.75, 0.8]]},
+    }
+    jp = construct_problem(doc, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    traj = np.asarray(res.x).reshape(3, 2)
+    # middle step must honor the larger 0.3 margin
+    d1 = float(scene.distances(jnp.asarray(traj[1]))[0])
+    assert d1 >= 0.3 - 1e-3
+
+
+def test_contact_test_type_rejected_loudly():
+    scene = spherebot_scene()
+    env = Environment(tree=scene.tree, scene=scene)
+    doc = dict(SIMPLE_COLLISION_DOC)
+    doc["constraints"] = [
+        {"type": "collision",
+         "params": {"coeffs": 1, "dist_pen": 0.2, "evaluator_type": 1,
+                    "contact_test_type": 1}},
+    ]
+    with pytest.raises(ValueError, match="contact_test_type"):
+        construct_problem(doc, env)
+
+
+def test_num_threads_rejected_loudly():
+    scene = spherebot_scene()
+    env = Environment(tree=scene.tree, scene=scene)
+    doc = dict(SIMPLE_COLLISION_DOC)
+    doc["opt_info"] = {"num_threads": 8}
+    with pytest.raises(ValueError, match="num_threads"):
+        construct_problem(doc, env)
+
+
+def test_user_defined_json_term():
+    """JSON `user_defined` type resolving registered functions (superset of
+    UserDefinedTermInfo, whose fromJson throws — pd.cpp:594-597)."""
+    from trajopt_tpu.terms.user import register_user_function
+
+    @register_user_function("sum_to_param")
+    def _sum_err(q, params):
+        return jnp.atleast_1d(jnp.sum(q) - 1.0)
+
+    scene = boxbot_scene()
+    env = Environment(tree=scene.tree, scene=scene)
+    doc = {
+        "basic_info": {"n_steps": 1, "manip": "manipulator"},
+        "costs": [
+            {"type": "joint_pos",
+             "params": {"targets": [0.0, 0.0], "first_step": 0,
+                        "last_step": 0}},
+        ],
+        "constraints": [
+            {"type": "user_defined",
+             "params": {"error_function": "sum_to_param",
+                        "constraint_type": "eq"}},
+        ],
+        "init_info": {"type": "given_traj", "data": [[2.0, 2.0]]},
+    }
+    jp = construct_problem(doc, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x).sum(), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-3)
+
+
+def test_max_time_limit_native_backend():
+    scene = spherebot_scene()
+    env = Environment(tree=scene.tree, scene=scene)
+    doc = dict(SIMPLE_COLLISION_DOC)
+    doc = json.loads(json.dumps(SIMPLE_COLLISION_DOC))
+    doc["basic_info"]["convex_solver"] = "native"
+    doc["opt_info"] = {"max_time": 0.0}
+    jp = construct_problem(doc, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.TIME_LIMIT
+
+
+def test_log_results_writes_csv(tmp_path):
+    scene = spherebot_scene()
+    env = Environment(tree=scene.tree, scene=scene)
+    doc = json.loads(json.dumps(SIMPLE_COLLISION_DOC))
+    doc["opt_info"] = {"log_results": True, "log_dir": str(tmp_path)}
+    jp = construct_problem(doc, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    solver_log = (tmp_path / "trajopt_solver.log").read_text()
+    assert solver_log.startswith("iteration,")
+    assert len(solver_log.splitlines()) >= 2
+    assert (tmp_path / "trajopt_vars.log").exists()

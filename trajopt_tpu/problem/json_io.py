@@ -65,13 +65,26 @@ class Environment:
 
 class JsonProblem:
     def __init__(self, prob: TrajOptProblem, init_traj, sqp: SQPParams,
-                 backend: str = "jax"):
+                 backend: str = "jax", log_results: bool = False,
+                 log_dir: str = "/tmp"):
         self.prob = prob
         self.init_traj = init_traj
         self.sqp = sqp
         self.backend = backend  # basic_info.convex_solver / TRAJOPT_CONVEX_SOLVER
+        self.log_results = log_results  # opt_info.log_results/log_dir:
+        self.log_dir = log_dir          # per-iteration CSV logs on solve()
 
     def solve(self, params: Any = None):
+        callback = None
+        logger = None
+        if self.log_results:
+            # optimizers.cpp:708-718 writes trajopt_{solver,vars}.log to
+            # log_dir when log_results is set; mirror with the CSV logger
+            # callback (host side, per SQP iteration).
+            from trajopt_tpu.callbacks import CsvLogger, \
+                make_iteration_callback
+            logger = CsvLogger()
+            callback = make_iteration_callback(logger)
         if self.backend == "native":
             # host reference driver + native C++ QP (the reference's
             # selectable-backend path, solver_interface.cpp:255-292)
@@ -80,9 +93,19 @@ class JsonProblem:
             nlp = self.prob.build()
             x0 = jnp.asarray(self.init_traj).reshape(-1)
             lb, ub = self.prob.bounds(x0)
-            return solve_reference(nlp, np.asarray(x0), np.asarray(lb),
-                                   np.asarray(ub), params or {}, self.sqp)
-        return self.prob.make_solve(self.sqp)(self.init_traj, params or {})
+            res = solve_reference(nlp, np.asarray(x0), np.asarray(lb),
+                                  np.asarray(ub), params or {}, self.sqp)
+        else:
+            res = self.prob.make_solve(self.sqp, callback=callback)(
+                self.init_traj, params or {})
+        if logger is not None:
+            import os
+            os.makedirs(self.log_dir, exist_ok=True)
+            logger.write_solver_log(os.path.join(self.log_dir,
+                                                 "trajopt_solver.log"))
+            logger.write_vars_log(os.path.join(self.log_dir,
+                                               "trajopt_vars.log"))
+        return res
 
 
 def _ensure_only(d: dict, allowed: set[str], where: str):
@@ -148,12 +171,15 @@ def construct_problem(doc: dict | str, env: Environment) -> JsonProblem:
     init_traj = _parse_init(doc.get("init_info", {"type": "stationary"}),
                             env, n_steps, use_time)
 
-    sqp = _parse_opt_info(doc.get("opt_info", {}))
+    oi = doc.get("opt_info", {})
+    sqp = _parse_opt_info(oi)
     import os as _os
     backend = str(bi.get("convex_solver",
                          _os.environ.get("TRAJOPT_CONVEX_SOLVER",
                                          "jax"))).lower()
-    return JsonProblem(prob, init_traj, sqp, backend=backend)
+    return JsonProblem(prob, init_traj, sqp, backend=backend,
+                       log_results=bool(oi.get("log_results", False)),
+                       log_dir=str(oi.get("log_dir", "/tmp")))
 
 
 def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
@@ -213,24 +239,102 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
                               "first_step", "last_step", "fixed_steps",
                               "longest_valid_segment_length",
                               "safety_margin_buffer", "contact_test_type",
-                              "use_weighted_sum"}, where)
+                              "use_weighted_sum", "pairs", "max_num_cnt"},
+                     where)
         if env.scene is None:
             raise ValueError("collision term requires env.scene")
         ev = _EVALUATOR_MAP[int(params.get("evaluator_type", 1))]
-        dist_pen = float(np.asarray(params["dist_pen"]).reshape(-1)[0])
-        coeff = float(np.asarray(params.get("coeffs", 20.0)).reshape(-1)[0])
+        # ContactTestType {FIRST=0, CLOSEST=1, ALL=2} (pd.cpp:1652-1657):
+        # the static all-pairs narrowphase IS the ALL semantics; FIRST and
+        # CLOSEST would change which contacts exist, so reject them loudly.
+        ctt = int(params.get("contact_test_type", 2))
+        if ctt != 2:
+            raise ValueError(
+                f"contact_test_type={ctt} unsupported in {where}: the "
+                f"static narrowphase evaluates ALL (=2) contacts")
+        # coeffs / dist_pen: scalar or per-timestep vector
+        dist_pen = np.asarray(params["dist_pen"], float).reshape(-1)
+        coeff = np.asarray(params.get("coeffs", 20.0), float).reshape(-1)
+        # per-link-pair overrides (pd.cpp:1700-1710)
+        pair_coeffs: dict = {}
+        pair_margins: dict = {}
+        for j, ent in enumerate(params.get("pairs", [])):
+            _ensure_only(ent, {"link", "pair", "coeffs", "dist_pen"},
+                         f"{where}.pairs[{j}]")
+            link = ent["link"]
+            plist = list(ent["pair"])
+            if not plist:
+                raise ValueError(f"empty pair list in {where}.pairs[{j}]")
+            for p in plist:
+                if "coeffs" in ent:
+                    pair_coeffs[(link, p)] = float(ent["coeffs"])
+                if "dist_pen" in ent:
+                    pair_margins[(link, p)] = float(ent["dist_pen"])
         # longest_valid_segment_length bounds interpolation spacing; we use
         # a fixed sub-step count per gap instead (static shapes) — derive a
         # conservative count from it when provided.
         lvs_len = float(params.get("longest_valid_segment_length", 0.5))
         lvs_substeps = max(2, min(8, int(np.ceil(0.5 / max(lvs_len, 1e-3)))))
+        mnc = params.get("max_num_cnt")
+        if mnc is None and env.scene.n_pairs > 64:
+            # Static all-pairs rows make the QP quadratically large on
+            # reference-scale scenes (PR2: 1759 candidate geom pairs ->
+            # ~80k QP rows for a 6-step cast problem).  The reference's
+            # fixed-size stack caps contacts the same way: find ALL
+            # contacts, sort by worst, keep max_num_cnt (default 3 link
+            # pairs, collision_types.h:156-162).  Our cap is per
+            # step/sub-segment over geom pairs, so default more
+            # generously; pass max_num_cnt explicitly to override.
+            mnc = 32
         prob.add_term(collision_term(
-            env.scene, n_steps, margin=dist_pen, coeff=coeff,
+            env.scene, n_steps,
+            margin=dist_pen if dist_pen.size > 1 else float(dist_pen[0]),
+            coeff=coeff if coeff.size > 1 else float(coeff[0]),
             is_cost=is_cost, evaluator=ev,
             first_step=int(params.get("first_step", 0)),
             last_step=int(params.get("last_step", -1)),
             fixed_steps=list(params.get("fixed_steps", [])),
             lvs_substeps=lvs_substeps,
+            pair_coeffs=pair_coeffs or None,
+            pair_margins=pair_margins or None,
+            max_num_cnt=int(mnc) if mnc is not None else None,
+            aggregate=("weighted_average"
+                       if bool(params.get("use_weighted_sum", False))
+                       else "none"),
+            safety_margin_buffer=float(params.get("safety_margin_buffer",
+                                                  0.0)),
+            n_dof_total=prob.n_dof_total, name=name))
+    elif ttype == "user_defined":
+        # Superset of the reference (UserDefinedTermInfo::fromJson throws,
+        # pd.cpp:594-597): functions resolve by name from USER_FUNCTIONS.
+        _ensure_only(params, {"error_function", "jacobian_function",
+                              "penalty_type", "constraint_type", "coeffs",
+                              "first_step", "last_step", "fixed_steps"},
+                     where)
+        from trajopt_tpu.terms.user import USER_FUNCTIONS, user_defined_term
+        err_name = params["error_function"]
+        if err_name not in USER_FUNCTIONS:
+            raise ValueError(
+                f"error_function {err_name!r} not registered "
+                f"(register_user_function) in {where}")
+        jac_name = params.get("jacobian_function")
+        if jac_name is not None and jac_name not in USER_FUNCTIONS:
+            raise ValueError(f"jacobian_function {jac_name!r} not "
+                             f"registered in {where}")
+        pen_names = {0: "squared", 1: "abs", 2: "hinge"}
+        cnt_names = {0: "eq", 1: "ineq"}
+        pen = params.get("penalty_type", "squared")
+        cnt = params.get("constraint_type", "eq")
+        prob.add_term(user_defined_term(
+            USER_FUNCTIONS[err_name], n_steps, n_dof,
+            jac_fn=USER_FUNCTIONS.get(jac_name),
+            is_cost=is_cost,
+            penalty_type=pen_names.get(pen, pen),
+            constraint_type=cnt_names.get(cnt, cnt),
+            coeffs=params.get("coeffs"),
+            first_step=int(params.get("first_step", 0)),
+            last_step=int(params.get("last_step", -1)),
+            fixed_steps=list(params.get("fixed_steps", [])),
             n_dof_total=prob.n_dof_total, name=name))
     elif ttype == "cart_pose":
         _ensure_only(params, {"timestep", "source_frame", "target_frame",
@@ -339,6 +443,19 @@ def _parse_opt_info(doc: dict) -> SQPParams:
             doc["inflate_constraints_individually"])
     if "trust_box_size" in doc:
         kw["initial_trust_box_size"] = float(doc["trust_box_size"])
+    if "max_time" in doc:
+        # wall-clock budget; enforced by the host-driven reference solver
+        # (TIME_LIMIT status) — see SQPParams.max_time
+        kw["max_time"] = float(doc["max_time"])
+    if "num_threads" in doc:
+        # The reference's num_threads selects OpenMP term-parallel
+        # evaluation; term evaluation here is one fused batched trace, and
+        # throughput scaling is by vmapped problem batching.  0/1 (auto/
+        # serial) are equivalent semantics; larger values have no analog.
+        if int(doc["num_threads"]) > 1:
+            raise ValueError(
+                "opt_info.num_threads > 1 has no analog: term evaluation "
+                "is fused on-device; batch problems (vmap) for parallelism")
     return dataclasses.replace(SQPParams(), **kw)
 
 

@@ -29,6 +29,9 @@ class SQPStatus:
     FAILED = 4
     # Callback asked to abort (kStoppedByCallback, trajopt_sqp/types.h:224)
     STOPPED_BY_CALLBACK = 5
+    # Wall-clock limit hit (OPT_TIME_LIMIT; host-driven solvers only —
+    # data-dependent time checks don't exist inside jit)
+    TIME_LIMIT = 6
 
     NAMES = {
         0: "RUNNING",
@@ -37,6 +40,7 @@ class SQPStatus:
         3: "PENALTY_ITERATION_LIMIT",
         4: "FAILED",
         5: "STOPPED_BY_CALLBACK",
+        6: "TIME_LIMIT",
     }
 
 
@@ -60,4 +64,10 @@ class SQPParams:
     # inner while runs until accept or box < min; with shrink=0.1 from the
     # largest sensible box that is bounded, so a static cap is safe.
     max_trust_iter: int = 12
+    # Wall-clock budget in seconds (BasicTrustRegionSQPParameters::max_time).
+    # Enforced per SQP iteration by the host-driven reference solver
+    # (sqp/reference_solver.py -> TIME_LIMIT); the jit solver cannot check
+    # host time inside the compiled loop — bound its work with max_iter /
+    # max_merit_coeff_increases instead.
+    max_time: float = float("inf")
     qp: ADMMConfig = ADMMConfig(eps_abs=1e-8, eps_rel=1e-8, max_iter=1500)
