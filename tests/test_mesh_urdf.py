@@ -1,0 +1,140 @@
+"""Mesh collision geometry end-to-end: STL loading, URDF <mesh> parsing,
+decomposition into primitives, and loading the reference's mesh-bearing
+URDFs (pr2.urdf / arm_around_table.urdf) through scene_from_urdf.
+
+Reference roles covered: tesseract mesh contact support + vendored VHACD
+(trajopt_ext/vhacd), resource location for package:// URIs.
+"""
+
+import os
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajopt_tpu.collision import decompose as dc
+from trajopt_tpu.collision.world import resolve_resource, scene_from_urdf
+from trajopt_tpu.kinematics.chain import build_tree
+from trajopt_tpu.kinematics.urdf import load_urdf, parse_urdf
+
+REF_DATA = "/root/reference/trajopt_common/data"
+
+
+def _write_binary_stl(path, mesh: dc.Mesh):
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", mesh.faces.shape[0]))
+        for tri in mesh.faces:
+            f.write(struct.pack("<3f", 0, 0, 0))
+            for vi in tri:
+                f.write(struct.pack("<3f", *mesh.vertices[vi]))
+            f.write(struct.pack("<H", 0))
+
+
+def test_stl_binary_roundtrip(tmp_path):
+    m = dc.box_mesh([0.2, 0.3, 0.4], center=[1.0, 0.0, 0.0])
+    p = str(tmp_path / "box.stl")
+    _write_binary_stl(p, m)
+    m2 = dc.load_stl(p)
+    assert m2.faces.shape[0] == 12
+    np.testing.assert_allclose(sorted(m2.vertices[:, 0]),
+                               sorted(m.vertices[:, 0]), atol=1e-6)
+
+
+def test_stl_ascii_load(tmp_path):
+    m = dc.box_mesh([0.1, 0.1, 0.1])
+    lines = ["solid box"]
+    for tri in m.faces:
+        lines.append(" facet normal 0 0 0")
+        lines.append("  outer loop")
+        for vi in tri:
+            v = m.vertices[vi]
+            lines.append(f"   vertex {v[0]} {v[1]} {v[2]}")
+        lines.append("  endloop")
+        lines.append(" endfacet")
+    lines.append("endsolid box")
+    p = str(tmp_path / "box_ascii.stl")
+    with open(p, "w") as f:
+        f.write("\n".join(lines))
+    m2 = dc.load_stl(p)
+    assert m2.faces.shape[0] == 12
+    assert m2.vertices.shape[0] == 8
+
+
+def test_resolve_resource():
+    assert resolve_resource("/abs/x.stl", None) == "/abs/x.stl"
+    assert resolve_resource("file:///abs/x.stl", None) == "/abs/x.stl"
+    assert resolve_resource("package://pkg/d/x.stl",
+                            {"pkg": "/root/pkg"}) == "/root/pkg/d/x.stl"
+    with pytest.raises(ValueError, match="package_map"):
+        resolve_resource("package://pkg/x.stl", None)
+
+
+def test_mesh_urdf_end_to_end(tmp_path):
+    """A URDF whose collision geometry is a mesh produces a working scene:
+    decomposed primitives attached to the right link, sane distances."""
+    m = dc.box_mesh([0.25, 0.25, 0.25])
+    stl = str(tmp_path / "body.stl")
+    _write_binary_stl(stl, m)
+    urdf = f"""
+    <robot name="meshbot">
+      <link name="base"/>
+      <link name="body">
+        <collision>
+          <origin xyz="0 0 0.5" rpy="0 0 0"/>
+          <geometry><mesh filename="{stl}"/></geometry>
+        </collision>
+      </link>
+      <joint name="slide" type="prismatic">
+        <parent link="base"/><child link="body"/>
+        <axis xyz="1 0 0"/>
+        <limit lower="-5" upper="5"/>
+      </joint>
+    </robot>"""
+    model = parse_urdf(urdf)
+    tree = build_tree(model)
+    scene = scene_from_urdf(tree, model)
+    assert scene.n_pairs == 0  # no world geometry yet
+    scene.add_world_sphere("ball", 0.5, center=[3.0, 0.0, 0.5])
+    assert scene.n_pairs >= 1
+    d0 = float(jnp.min(scene.distances(jnp.array([0.0]))))
+    # mesh cube (half 0.25 at z=0.5) vs sphere r=0.5 at x=3: gap ~2.25
+    assert abs(d0 - 2.25) < 0.1
+    d1 = float(jnp.min(scene.distances(jnp.array([3.0]))))
+    assert d1 < 0.0  # slid into the ball
+
+
+@pytest.mark.skipif(not os.path.exists(f"{REF_DATA}/pr2.urdf"),
+                    reason="reference data not available")
+def test_reference_pr2_urdf_loads_with_meshes():
+    model = load_urdf(f"{REF_DATA}/pr2.urdf")
+    mesh_geoms = [g for l in model.links for g in l.collisions
+                  if g.kind == "mesh"]
+    assert len(mesh_geoms) >= 36  # all PR2 collision STLs parsed
+    tree = build_tree(model)
+    from trajopt_tpu.kinematics.srdf import load_srdf
+    srdf = load_srdf(f"{REF_DATA}/pr2.srdf")
+    scene = scene_from_urdf(
+        tree, model, srdf,
+        package_map={"trajopt_common": os.path.dirname(REF_DATA)},
+        mesh_max_pieces=4)
+    # every mesh produced at least one primitive
+    n_mesh_prims = sum(1 for g in scene.geoms if "_m" in g.name)
+    assert n_mesh_prims >= 36
+    q0 = jnp.zeros(tree.n_dof)
+    ds = np.asarray(scene.distances(q0))
+    assert np.all(np.isfinite(ds))
+
+
+@pytest.mark.skipif(not os.path.exists(f"{REF_DATA}/arm_around_table.urdf"),
+                    reason="reference data not available")
+def test_reference_arm_around_table_urdf_loads():
+    model = load_urdf(f"{REF_DATA}/arm_around_table.urdf")
+    tree = build_tree(model)
+    assert tree.n_dof > 7  # PR2 torso + arm joints at least
+    scene = scene_from_urdf(
+        tree, model,
+        package_map={"trajopt_common": os.path.dirname(REF_DATA)},
+        mesh_max_pieces=4)
+    assert len(scene.geoms) > 50

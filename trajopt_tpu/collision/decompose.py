@@ -45,6 +45,53 @@ class Mesh:
         object.__setattr__(self, "faces", np.asarray(self.faces, np.int64))
 
 
+def load_stl(path: str) -> Mesh:
+    """STL loader (binary and ASCII), deduplicating shared vertices.
+
+    Covers the reference fixtures' collision meshes (pr2.urdf /
+    arm_around_table.urdf reference only .stl collision geometry;
+    tesseract loads them through its resource locator)."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+        f.seek(0)
+        if head == b"solid":
+            # could still be binary with a "solid" header; sniff for
+            # "facet" in the first KB
+            blob = f.read(1024)
+            f.seek(0)
+            if b"facet" in blob:
+                return _load_stl_ascii(f.read().decode("ascii", "ignore"))
+        data = f.read()
+    n_tri = int(np.frombuffer(data[80:84], "<u4")[0])
+    rec = np.frombuffer(data[84:84 + n_tri * 50],
+                        dtype=np.dtype([("n", "<f4", 3), ("v", "<f4", (3, 3)),
+                                        ("attr", "<u2")]))
+    tri_verts = rec["v"].reshape(-1, 3).astype(np.float64)
+    verts, inv = np.unique(tri_verts.round(9), axis=0, return_inverse=True)
+    return Mesh(verts, inv.reshape(-1, 3))
+
+
+def _load_stl_ascii(text: str) -> Mesh:
+    vals = []
+    for line in text.splitlines():
+        parts = line.split()
+        if parts[:1] == ["vertex"]:
+            vals.append([float(x) for x in parts[1:4]])
+    tri_verts = np.asarray(vals, np.float64)
+    verts, inv = np.unique(tri_verts.round(9), axis=0, return_inverse=True)
+    return Mesh(verts, inv.reshape(-1, 3))
+
+
+def load_mesh(path: str) -> Mesh:
+    """Load a triangle mesh by extension (.stl binary/ascii, .obj)."""
+    lower = path.lower()
+    if lower.endswith(".stl") or lower.endswith(".stla"):
+        return load_stl(path)
+    if lower.endswith(".obj"):
+        return load_obj(path)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
 def load_obj(path: str) -> Mesh:
     """Minimal Wavefront OBJ loader (v / f records, triangulates fans)."""
     verts, faces = [], []

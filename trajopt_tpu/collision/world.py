@@ -218,12 +218,35 @@ class CollisionScene:
                 return True
         return False
 
+    def _is_active(self, g: CollGeom) -> bool:
+        """Whether the geom can MOVE with q: attached to a link some active
+        joint drives.  Geometry on fixed/static links is world-like (the
+        reference's setActiveCollisionObjects split: only pairs touching an
+        active link are candidates, planning_unit.cpp:92)."""
+        if g.link is None:
+            return False
+        return bool(np.any(self.tree.ancestor[self.tree.link_id(g.link)]))
+
+    def _moves_mask(self, g: CollGeom) -> "np.ndarray":
+        """Per-active-joint mask of joints that move this geom (world
+        geometry: all-False)."""
+        if g.link is None:
+            return np.zeros(self.tree.n_dof, bool)
+        return np.asarray(self.tree.ancestor[self.tree.link_id(g.link)],
+                          bool)
+
     def pairs(self) -> list[tuple[CollGeom, CollGeom]]:
         """All candidate pairs: moving-vs-world and non-adjacent
-        moving-vs-moving (the reference's allowed-collision-matrix role)."""
+        moving-vs-moving (the reference's allowed-collision-matrix role).
+        Pairs whose RELATIVE pose is configuration-independent — no active
+        joint on the tree path between the two geoms (XOR of ancestor
+        masks empty) — are pruned, matching the reference's
+        active-collision-object filtering (planning_unit.cpp:92) and
+        extending it to rigidly co-moving groups (e.g. a tucked fixed arm
+        riding a torso lift: its internal pairs never change distance)."""
         out = []
         for ga, gb in itertools.combinations(self.geoms, 2):
-            if ga.link is None and gb.link is None:
+            if not np.any(self._moves_mask(ga) ^ self._moves_mask(gb)):
                 continue
             if ga.link is not None and gb.link is not None:
                 if not self.check_self_collision:
@@ -235,8 +258,9 @@ class CollisionScene:
             if (ga.name, gb.name) in self.disabled_pairs or \
                (gb.name, ga.name) in self.disabled_pairs:
                 continue
-            # keep moving geometry first
-            if ga.link is None:
+            # keep actively-moving geometry first (world geoms and geoms on
+            # fixed links are both configuration-static)
+            if not self._is_active(ga):
                 ga, gb = gb, ga
             out.append((ga, gb))
         return out
@@ -525,7 +549,8 @@ class CollisionScene:
         for idx, (ga, gb) in enumerate(self.pairs()):
             if gb.kind == SDF:
                 sdf_pairs.append((idx, ga, gb))
-            elif gb.link is not None:
+            elif self._is_active(gb):
+                # both endpoints move: endpoint-min of the discrete kernels
                 if rank[ga.kind] > rank[gb.kind]:
                     ga, gb = gb, ga
                 key = (ga.kind, gb.kind)
@@ -533,6 +558,8 @@ class CollisionScene:
                     key = (BOX, "obb")
                 moving.setdefault(key, []).append((idx, ga, gb))
             else:
+                # gb is world geometry or rides a fixed link: its pose is
+                # configuration-static, so the true swept kernels apply
                 static.setdefault((ga.kind, gb.kind), []).append((idx, ga, gb))
 
         def pack(groups):
@@ -646,13 +673,39 @@ class CollisionScene:
         return out
 
 
+def resolve_resource(filename: str, package_map: dict | None) -> str:
+    """Resolve a URDF mesh resource path: ``package://<pkg>/<rel>`` via the
+    caller-supplied package map (the tesseract ResourceLocator role), plain
+    paths as-is."""
+    if filename.startswith("package://"):
+        rest = filename[len("package://"):]
+        pkg, _, rel = rest.partition("/")
+        if not package_map or pkg not in package_map:
+            raise ValueError(
+                f"cannot resolve {filename!r}: provide package_map["
+                f"{pkg!r}] (tesseract ResourceLocator role)")
+        import os
+        return os.path.join(package_map[pkg], rel)
+    if filename.startswith("file://"):
+        return filename[len("file://"):]
+    return filename
+
+
 def scene_from_urdf(tree: KinematicTree, model: urdf_mod.UrdfModel,
-                    srdf=None) -> CollisionScene:
-    """Import URDF collision primitives: boxes/spheres exact, cylinders as
-    capsules (conservative end-caps).  Passing an
-    :class:`~trajopt_tpu.kinematics.srdf.SrdfModel` seeds the link-level
-    allowed-collision matrix from its ``<disable_collisions>`` entries
-    (tesseract seeds its contact managers the same way)."""
+                    srdf=None, *, package_map: dict | None = None,
+                    mesh_max_pieces: int = 8,
+                    mesh_max_concavity: float = 0.03) -> CollisionScene:
+    """Import URDF collision geometry: boxes/spheres exact, cylinders as
+    capsules (conservative end-caps), and ``<mesh>`` geometry via
+    convex decomposition into fitted primitives (collision/decompose.py —
+    the role VHACD + tesseract's mesh contact support play for the
+    reference; pr2.urdf's 36 collision STLs load through this path).
+
+    ``package_map`` maps ROS package names to directories for
+    ``package://`` mesh resources (tesseract ResourceLocator role).
+    Passing an :class:`~trajopt_tpu.kinematics.srdf.SrdfModel` seeds the
+    link-level allowed-collision matrix from its ``<disable_collisions>``
+    entries (tesseract seeds its contact managers the same way)."""
     scene = CollisionScene(tree)
     if srdf is not None:
         scene.disabled_link_pairs |= srdf.disabled_link_pairs()
@@ -675,4 +728,34 @@ def scene_from_urdf(tree: KinematicTree, model: urdf_mod.UrdfModel,
                 axis = R @ np.array([0.0, 0.0, ln / 2.0])
                 scene.add_geom(CollGeom(name, CAPSULE, (r,), link=link.name,
                                         ea=p - axis, eb=p + axis))
+            elif g.kind == "mesh":
+                from trajopt_tpu.collision import decompose as dc
+                path = resolve_resource(g.filename, package_map)
+                mesh = dc.load_mesh(path)
+                # scale + collision-origin transform into the link frame
+                verts = mesh.vertices * np.asarray(g.size, float)
+                verts = verts @ R.T + p
+                pieces = dc.decompose(dc.Mesh(verts, mesh.faces),
+                                      max_concavity=mesh_max_concavity,
+                                      max_pieces=mesh_max_pieces)
+                for pi, pc in enumerate(pieces):
+                    nm = f"{name}_m{pi}"
+                    if pc.kind == "sphere":
+                        scene.add_geom(CollGeom(nm, SPHERE,
+                                                (float(pc.params[0]),),
+                                                link=link.name,
+                                                p_local=pc.center))
+                    elif pc.kind == "capsule":
+                        r, a, b = pc.params
+                        scene.add_geom(CollGeom(nm, CAPSULE, (float(r),),
+                                                link=link.name,
+                                                ea=np.asarray(a, float),
+                                                eb=np.asarray(b, float)))
+                    else:  # box
+                        (half,) = pc.params
+                        scene.add_geom(CollGeom(nm, BOX,
+                                                tuple(np.asarray(half, float)),
+                                                link=link.name,
+                                                R_local=np.asarray(pc.R),
+                                                p_local=np.asarray(pc.center)))
     return scene

@@ -23,11 +23,13 @@ FIXED = 2
 
 @dataclasses.dataclass(frozen=True)
 class Geometry:
-    """One collision primitive attached to a link."""
-    kind: str                 # 'box' | 'sphere' | 'cylinder'
-    size: tuple[float, ...]   # box: (x,y,z); sphere: (r,); cylinder: (r, l)
+    """One collision geometry attached to a link."""
+    kind: str                 # 'box' | 'sphere' | 'cylinder' | 'mesh'
+    size: tuple[float, ...]   # box: (x,y,z); sphere: (r,); cylinder: (r, l);
+    #                           mesh: (sx, sy, sz) scale factors
     origin_xyz: tuple[float, float, float] = (0.0, 0.0, 0.0)
     origin_rpy: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    filename: Optional[str] = None   # mesh resource (possibly package://)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,11 +88,35 @@ def _parse_geometry(collision_el) -> Optional[Geometry]:
         return Geometry("cylinder",
                         (float(cyl.get("radius")), float(cyl.get("length"))),
                         xyz, rpy)
-    return None  # meshes etc. unsupported for now
+    mesh = geo.find("mesh")
+    if mesh is not None:
+        scale = _parse_vec(mesh.get("scale"), default=(1.0, 1.0, 1.0))
+        return Geometry("mesh", scale, xyz, rpy,
+                        filename=mesh.get("filename"))
+    return None
+
+
+def _declare_missing_prefixes(text: str) -> str:
+    """Inject xmlns declarations for undeclared namespace prefixes.
+
+    Real-world URDFs (e.g. the reference's pr2.urdf) carry vendor
+    attributes like ``tesseract:make_convex`` without declaring the prefix;
+    strict ElementTree refuses them ("unbound prefix")."""
+    import re
+    declared = set(re.findall(r"xmlns:([\w.-]+)\s*=", text))
+    used = set(re.findall(r"[\s<]([A-Za-z_][\w.-]*):[A-Za-z_]", text))
+    missing = used - declared - {"xmlns", "xml", "http", "https"}
+    if not missing:
+        return text
+    decls = " ".join(f'xmlns:{p}="urn:uri:{p}"' for p in sorted(missing))
+    return re.sub(r"<robot(\s)", f"<robot {decls}\\1", text, count=1)
 
 
 def parse_urdf(text: str) -> UrdfModel:
-    root = ET.fromstring(text)
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError:
+        root = ET.fromstring(_declare_missing_prefixes(text))
     if root.tag != "robot":
         raise ValueError("not a URDF document")
 
