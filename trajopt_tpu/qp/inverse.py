@@ -55,9 +55,10 @@ def _lam_max_estimate(M: jax.Array, X0: jax.Array, iters: int) -> jax.Array:
     """Power-iteration estimate of lam_max(X0 M) (positive real spectrum
     for SPD M, X0).  Matvec-only: two [n, n] @ [n] products per iteration."""
     n = M.shape[-1]
-    # Deterministic full-spectrum start (no PRNG inside the solver): an
-    # alternating-sign ramp is never orthogonal to the dominant eigenvector
-    # in practice; the 10% safety margin in ns_inverse covers the slack.
+    # Deterministic full-spectrum start (no PRNG inside the solver): a
+    # cosine ramp (frequency 0.7 rad/index, offset to avoid exact zeros)
+    # is never orthogonal to the dominant eigenvector in practice; the
+    # safety margin in ns_inverse covers the power-iteration slack.
     v = jnp.cos(jnp.arange(n, dtype=M.dtype) * 0.7) + 0.01
     v = v / jnp.linalg.norm(v)
 
@@ -95,10 +96,16 @@ def ns_inverse(M: jax.Array, X0: jax.Array, *, tol: float = 1e-5,
     eye = jnp.eye(n, dtype=dtype)
 
     lam = _lam_max_estimate(M, X0, power_iters)
-    # 10% margin on the estimate; scaling cannot hurt a good seed much
-    # (t = 1 when lam_max is already inside the contraction region).
+    # Power iteration LOWER-bounds lam_max(X0 M); with few iterations and a
+    # clustered spectrum the true value can exceed the estimate, so the
+    # margin scales with how little the iteration has converged: 10% at
+    # power_iters >= 8 (empirically converged at these spectra), doubling
+    # the slack for very short budgets.  Scaling cannot hurt a good seed
+    # much (t = 1 when lam_max is already inside the contraction region),
+    # and the isfinite fallback below catches any residual divergence.
+    margin = 1.1 if power_iters >= 8 else 1.2 + 0.8 / max(power_iters, 1)
     t = jnp.minimum(jnp.asarray(1.0, dtype),
-                    jnp.asarray(target, dtype) / (1.1 * lam))
+                    jnp.asarray(target, dtype) / (margin * lam))
     X = t * X0
 
     def phase(X, phase_tol, budget, precision):
@@ -125,4 +132,36 @@ def ns_inverse(M: jax.Array, X0: jax.Array, *, tol: float = 1e-5,
         # solves).
         X, _ = phase(X, coarse_tol, max_iter, jax.lax.Precision.DEFAULT)
     X, _ = phase(X, tol, max_iter, jax.lax.Precision.HIGHEST)
+
+    # Divergence rescue: a stale seed or an underestimated lam_max can
+    # leave X non-finite or far from M^-1; carrying that back into solver
+    # state would poison every later SQP step of the lane (it would only
+    # fail safe through merit rejection -> FAILED).  Bad lanes restart NS
+    # from the GUARANTEED-convergent seed (target/||M||_F) I — for SPD M,
+    # eigenvalues of that seed times M lie in (0, target] — which is pure
+    # matmuls and therefore cheap under vmap (a lax.cond Cholesky fallback
+    # would execute on every lane under batching and erase the NS win).
+    # When every lane is healthy the rescue while_loop exits immediately:
+    # the check costs one extra matmul.
+    E = eye - jnp.matmul(M, X, precision=jax.lax.Precision.HIGHEST)
+    r = jnp.linalg.norm(E)
+    bad = ~jnp.isfinite(r) | (r > jnp.asarray(1.0, dtype))
+    lam_ub = jnp.linalg.norm(M)  # Frobenius >= lam_max for SPD M
+    X_safe = (jnp.asarray(target, dtype) / (lam_ub + 1e-30)) * eye
+    X = jnp.where(bad, X_safe, X)
+
+    def rescue_cond(carry):
+        _, rr, k = carry
+        return (rr > jnp.asarray(tol, dtype)) & (k < 4 * max_iter)
+
+    def rescue_body(carry):
+        Xc, _, k = carry
+        Ec = eye - jnp.matmul(M, Xc, precision=jax.lax.Precision.HIGHEST)
+        rr = jnp.linalg.norm(Ec)
+        return (Xc + jnp.matmul(Xc, Ec, precision=jax.lax.Precision.HIGHEST),
+                rr, k + 1)
+
+    r0 = jnp.where(bad, jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype))
+    X, _, _ = jax.lax.while_loop(rescue_cond, rescue_body,
+                                 (X, r0, jnp.asarray(0, jnp.int32)))
     return X

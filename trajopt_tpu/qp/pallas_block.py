@@ -318,6 +318,20 @@ def solve_qp_block_fused(prep, lb, ub, x0, zc0=None, zb0=None, yc0=None,
           else yb0.astype(dtype) * (sc.c_obj / sc.E_b))
     cr_c = jnp.where(jnp.isinf(sq.c), jnp.inf, sq.c / rho_c)
 
+    # The kernel bakes rho_b in as the static cfg.rho; the unfused path
+    # uses the prep.rho_b ARRAY (currently uniform == cfg.rho).  Guard the
+    # assumption so a future non-uniform (adaptive-rho) prepare_qp_block
+    # fails loudly here instead of silently diverging from the XLA path.
+    if hasattr(prep, "rho_b"):
+        from jax import core as _jc
+        rb = prep.rho_b
+        if not isinstance(rb, _jc.Tracer):
+            rb_np = np.asarray(rb)
+            if rb_np.size and not np.allclose(rb_np, float(cfg.rho)):
+                raise ValueError(
+                    "solve_qp_block_fused assumes uniform rho_b == cfg.rho; "
+                    "prepare_qp_block produced a non-uniform rho_b — extend "
+                    "the kernel to take rho_b as an operand first")
     interpret = jax.default_backend() != "tpu"
     fn = _build_chunk_fn(T, D, K, R, cfg.check_every, float(cfg.sigma),
                          float(cfg.alpha), float(cfg.rho),

@@ -27,6 +27,13 @@ def dump_failed_qps(nlp, result, params, path: str,
         res = solve_batch(inits, goals)
         n_bad = dump_failed_qps(prob.build(), res, {"goal": goals},
                                 "/tmp/trajopt_fail.npz")
+
+    Per-lane slicing HEURISTIC (mirrors jax.vmap's default in_axes=0): any
+    params leaf whose LEADING dimension equals the lane count is treated as
+    batched and indexed per lane; everything else is passed through whole.
+    A lane-invariant leaf whose first dimension coincidentally equals the
+    batch size will be mis-sliced — pre-slice such params yourself and pass
+    the single-lane pytree with an unbatched result instead.
     """
     import jax
     import jax.numpy as jnp

@@ -9,6 +9,7 @@ TensorBoard-loadable device trace.
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 
 import jax
@@ -81,4 +82,11 @@ def machine_cache_dir(name: str) -> str:
 
     fp = hashlib.sha1(
         (platform.machine() + flags).encode()).hexdigest()[:12]
-    return f"{tempfile.gettempdir()}/{name}_{fp}"
+    # Include the UID: a world-shared tempdir path keyed only by CPU flags
+    # could be owned by another user on shared CI hosts, making cache
+    # writes fail or entries unreadable.
+    try:
+        uid = os.getuid()
+    except AttributeError:  # non-POSIX
+        uid = 0
+    return f"{tempfile.gettempdir()}/{name}_u{uid}_{fp}"
