@@ -62,6 +62,68 @@ def arm_table_batch(key, batch: int, n_steps: int = 30, dtype=jnp.float32):
     return inits, goals
 
 
+PR2ISH_HOME = np.array([0.05, -1.9, 1.2, -1.0, -1.4, 0.0, -0.6, 0.0])
+PR2ISH_GOAL = np.array([0.15, -0.3, 0.3, -0.5, -0.9, 0.0, -1.0, 0.0])
+
+
+def pr2ish_table_problem(n_steps: int = 30, *, evaluator: str = "cast",
+                         margin: float = 0.025, coeff: float = 20.0,
+                         lvs_substeps: int = 3,
+                         max_num_cnt: int | None = 16,
+                         ) -> tuple[TrajOptProblem, CollisionScene]:
+    """PR2-class arm-around-table CAST workload: 8-DOF (torso lift + 7R
+    arm), self-collision ON, 90+ candidate pairs (tucked left arm, head,
+    base, table + cabinet world).  The straight-line init sweeps the wrist
+    THROUGH the table top between steps, so the swept/cast narrowphase is
+    load-bearing — the discrete evaluator at the waypoints alone would
+    accept colliding gaps.
+
+    This is the reference's headline planning benchmark shape
+    (solve_benchmarks.cpp:48-61 runs arm_around_table.json with
+    evaluator_type 4 = CAST_CONTINUOUS on PR2 with self-collision pairs).
+    ``max_num_cnt`` caps QP rows per (gap, sub-segment) via worst-k, the
+    fixed-size analog of the reference's dynamic contact sets
+    (collision_types.h:156-162)."""
+    from trajopt_tpu.models.robots import pr2ish, pr2ish_scene
+
+    tree = pr2ish()
+    scene = pr2ish_scene()
+    prob = TrajOptProblem(
+        n_steps=n_steps, n_dof=8,
+        joint_lower=tree.lower, joint_upper=tree.upper,
+        fixed_steps=[0],
+    )
+    prob.add_term(joint_vel(n_steps, 8, is_cost=True, coeffs=np.full(8, 5.0)))
+    prob.add_term(joint_pos(n_steps, 8, is_cost=False, targets="goal",
+                            first_step=n_steps - 1, last_step=n_steps - 1))
+    prob.add_term(collision_term(
+        scene, n_steps, margin=margin, coeff=coeff, is_cost=False,
+        evaluator=evaluator, fixed_steps=[0], lvs_substeps=lvs_substeps,
+        max_num_cnt=max_num_cnt))
+    return prob, scene
+
+
+def pr2ish_table_batch(key, batch: int, n_steps: int = 30,
+                       dtype=jnp.float32):
+    """Randomized goals around PR2ISH_GOAL + interpolated inits.
+
+    Noise is small on the joints that place the forearm relative to the
+    table (sampled goals stay >= 0.06 clear of every pair; verified over
+    300 draws) and large on the distance-insensitive roll joints."""
+    from trajopt_tpu.models.robots import pr2ish
+
+    scale = jnp.asarray([0.01, 0.02, 0.015, 0.03, 0.03, 0.2, 0.04, 0.3],
+                        dtype)
+    noise = scale * jax.random.normal(key, (batch, 8), dtype)
+    goals = jnp.asarray(PR2ISH_GOAL, dtype)[None, :] + noise
+    tree = pr2ish()
+    goals = jnp.clip(goals, jnp.asarray(tree.lower + 0.02, dtype),
+                     jnp.asarray(tree.upper - 0.02, dtype))
+    home = jnp.asarray(PR2ISH_HOME, dtype)
+    inits = jax.vmap(lambda g: interpolated_init(home, g, n_steps))(goals)
+    return inits, goals
+
+
 def simple_collision_problem() -> tuple[TrajOptProblem, CollisionScene]:
     """Spherebot simple-collision scene (simple_collision_test.json): one
     step pulled into the obstacle by a joint_pos cost, pushed out by

@@ -313,22 +313,29 @@ def collision_term(
         coeff_sl = coeff_mat[gaps_arr][:, None, :]     # [G, 1, P]
         margin_sl = margin_mat[gaps_arr][:, None, :]
 
+        # One narrowphase TRACE shared by all sub-steps (vmap over the
+        # interpolation fractions): the unrolled per-substep form traced
+        # the whole narrowphase lvs_substeps times, dominating compile
+        # time at PR2-class pair counts.
         if evaluator == "lvs_discrete":
             n_sub = lvs_substeps + 1
+            fr = jnp.asarray(fracs)
 
             def gap_dists(q0, q1, params=None):
-                return jnp.stack([scene.distances(q0 + f * (q1 - q0), params)
-                                  for f in fracs])          # [n_sub, n_pairs]
+                return jax.vmap(
+                    lambda f: scene.distances(q0 + f * (q1 - q0), params)
+                )(fr.astype(q0.dtype))                      # [n_sub, n_pairs]
         else:  # cast: swept over each LVS sub-segment
             n_sub = lvs_substeps
+            fr_a = jnp.asarray(fracs[:-1])
+            fr_b = jnp.asarray(fracs[1:])
 
             def gap_dists(q0, q1, params=None):
-                ds = []
-                for k in range(lvs_substeps):
-                    qa = q0 + fracs[k] * (q1 - q0)
-                    qb = q0 + fracs[k + 1] * (q1 - q0)
-                    ds.append(scene.swept_distances(qa, qb, params))
-                return jnp.stack(ds)                        # [n_sub, n_pairs]
+                dq = q1 - q0
+                return jax.vmap(
+                    lambda fa, fb: scene.swept_distances(
+                        q0 + fa * dq, q0 + fb * dq, params)
+                )(fr_a.astype(q0.dtype), fr_b.astype(q0.dtype))
 
         n_rows = G * n_sub * k_rows
 
@@ -361,29 +368,30 @@ def collision_term(
             tangents traverse the FK chain (see distances_and_jac)."""
             qs = x.reshape(n_steps, n_dof_total)[:, :n_dof]
 
+            # vmap over sub-steps: ONE distances_and_jac trace regardless
+            # of lvs_substeps (compile-time lever, see gap_dists above)
             if evaluator == "lvs_discrete":
+                fr = jnp.asarray(fracs)
+
                 def one(a, b):
-                    outs = [scene.distances_and_jac(a + f * (b - a), params)
-                            for f in fracs]
-                    ds = jnp.stack([o[0] for o in outs])
-                    J0 = jnp.stack([(1.0 - f) * o[1]
-                                    for f, o in zip(fracs, outs)])
-                    J1 = jnp.stack([f * o[1] for f, o in zip(fracs, outs)])
-                    return ds, J0, J1
+                    def sub(f):
+                        d, J = scene.distances_and_jac(a + f * (b - a),
+                                                       params)
+                        return d, (1.0 - f) * J, f * J
+                    return jax.vmap(sub)(fr.astype(a.dtype))
             else:  # cast
+                fr_a = jnp.asarray(fracs[:-1])
+                fr_b = jnp.asarray(fracs[1:])
+
                 def one(a, b):
-                    ds_k, J0_k, J1_k = [], [], []
-                    for k in range(lvs_substeps):
-                        fa, fb = fracs[k], fracs[k + 1]
-                        qa = a + fa * (b - a)
-                        qb = a + fb * (b - a)
-                        d, Ja, Jb = scene.swept_distances_and_jac(qa, qb,
-                                                                  params)
-                        ds_k.append(d)
-                        J0_k.append((1.0 - fa) * Ja + (1.0 - fb) * Jb)
-                        J1_k.append(fa * Ja + fb * Jb)
-                    return (jnp.stack(ds_k), jnp.stack(J0_k),
-                            jnp.stack(J1_k))
+                    dq = b - a
+                    def sub(fa, fb):
+                        d, Ja, Jb = scene.swept_distances_and_jac(
+                            a + fa * dq, a + fb * dq, params)
+                        return (d, (1.0 - fa) * Ja + (1.0 - fb) * Jb,
+                                fa * Ja + fb * Jb)
+                    return jax.vmap(sub)(fr_a.astype(a.dtype),
+                                         fr_b.astype(a.dtype))
 
             ds, J0, J1 = jax.vmap(one)(qs[gaps_arr], qs[gaps_arr + 1])
             cf = jnp.asarray(coeff_sl, x.dtype)[..., None]
