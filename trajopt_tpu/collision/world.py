@@ -56,6 +56,81 @@ class CollGeom:
     p_param: Optional[str] = None
 
 
+def _pose_geom(Rl, pl, R_loc, p_loc, ea_loc, eb_loc):
+    """World pose + capsule endpoints of ONE geom given its parent link
+    pose (Rl, pl) and the geom's local-frame constants (differentiable
+    w.r.t. Rl/pl — the per-pair analog of :meth:`CollisionScene._posed`)."""
+    R = Rl @ R_loc
+    p = Rl @ p_loc + pl
+    ea = R @ ea_loc + p
+    eb = R @ eb_loc + p
+    return R, p, ea, eb
+
+
+def _scalar_kernel(key):
+    """Scalar (single-pair) discrete narrowphase kernel for a group key;
+    pose_* = (R, p, ea, eb) world data, pr_* = padded params [3]."""
+    def kern(pose_a, pra, pose_b, prb):
+        Ra, pa, eaa, eba = pose_a
+        Rb, pb, eab, ebb = pose_b
+        ra, rb = pra[0], prb[0]
+        if key == (SPHERE, SPHERE):
+            return geom.sphere_sphere(pa, ra, pb, rb)
+        if key == (SPHERE, CAPSULE):
+            return geom.sphere_capsule(pa, ra, eab, ebb, rb)
+        if key == (SPHERE, BOX):
+            return geom.sphere_box(pa, ra, Rb, pb, prb)
+        if key == (CAPSULE, CAPSULE):
+            return geom.capsule_capsule(eaa, eba, ra, eab, ebb, rb)
+        if key == (CAPSULE, BOX):
+            return geom.capsule_box(eaa, eba, ra, Rb, pb, prb)
+        if key == (BOX, BOX):
+            return geom.box_box_axis_aligned(Ra, pa, pra, Rb, pb, prb)
+        if key == (BOX, "obb"):
+            return geom.box_box(Ra, pa, pra, Rb, pb, prb)
+        raise ValueError(f"unsupported group {key}")
+    return kern
+
+
+def _swept_scalar_kernel(key):
+    """Scalar swept kernel: geom `a` sweeps pose_a0 -> pose_a1 against
+    static `b` (mirrors _swept_group_distance's vectorized dispatch)."""
+    ka, kb = key
+
+    def kern(pose_a0, pose_a1, pra, pose_b, prb):
+        Ra0, pa0, eaa0, eba0 = pose_a0
+        Ra1, pa1, eaa1, eba1 = pose_a1
+        Rb, pb, eab, ebb = pose_b
+        ra, rb = pra[0], prb[0]
+        if ka == SPHERE:
+            if kb == SPHERE:
+                return geom.sphere_capsule(pb, rb, pa0, pa1, ra)
+            if kb == CAPSULE:
+                return geom.capsule_capsule(pa0, pa1, ra, eab, ebb, rb)
+            if kb == BOX:
+                return geom.capsule_box(pa0, pa1, ra, Rb, pb, prb)
+        if ka == CAPSULE:
+            segs = ((eaa0, eaa1), (eba0, eba1), (eaa0, eba0), (eaa1, eba1))
+            if kb == SPHERE:
+                ds = [geom.sphere_capsule(pb, rb, s, e, ra) for s, e in segs]
+            elif kb == CAPSULE:
+                ds = [geom.capsule_capsule(s, e, ra, eab, ebb, rb)
+                      for s, e in segs]
+            else:
+                ds = [geom.capsule_box(s, e, ra, Rb, pb, prb)
+                      for s, e in segs]
+            return jnp.min(jnp.stack(ds))
+        if ka == BOX and kb == BOX:
+            ha_in_b = jnp.abs(Rb.T @ Ra0) @ pra
+            return geom.segment_box(pa0, pa1, Rb, pb, prb + ha_in_b)
+        if ka == BOX:  # kb in (SPHERE, CAPSULE): endpoint min, swapped
+            disc = _scalar_kernel((kb, ka))
+            return jnp.minimum(disc(pose_b, prb, pose_a0, pra),
+                               disc(pose_b, prb, pose_a1, pra))
+        raise ValueError(f"unsupported swept group {key}")
+    return kern
+
+
 def _world_pose(g: CollGeom, tree: KinematicTree, R_links, p_links, dtype):
     if g.link is None:
         return jnp.asarray(g.R_local, dtype), jnp.asarray(g.p_local, dtype)
@@ -422,44 +497,112 @@ class CollisionScene:
         R, p = self.tree.fk(q)
         return self._distances_from_poses(R, p, dtype, params)
 
+    # ----------------------- per-pair analytic pose-gradient machinery
+
+    def _side_operands(self, arrs, R, p, dtype, params=None):
+        """Per-pair differentiation operands for one side of a group:
+        (link poses Rl [Pg,3,3] / pl [Pg,3]  — identity for static geoms —
+        and the local-frame constants (R_loc, p_loc, ea_loc, eb_loc))."""
+        link = jnp.asarray(np.maximum(arrs["link"], 0))
+        static = jnp.asarray(arrs["is_static"])
+        Rl = jnp.where(static[:, None, None],
+                       jnp.eye(3, dtype=dtype)[None], R[link])
+        pl = jnp.where(static[:, None], jnp.zeros(3, dtype), p[link])
+        ploc = jnp.asarray(arrs["p"], dtype)
+        if params is not None:
+            for gi, k in enumerate(arrs["p_params"]):
+                if k is not None:
+                    ploc = ploc.at[gi].set(jnp.asarray(params[k], dtype))
+        locs = (jnp.asarray(arrs["R"], dtype), ploc,
+                jnp.asarray(arrs["ea"], dtype), jnp.asarray(arrs["eb"], dtype))
+        return Rl, pl, locs
+
+    def _compose_pose_grads(self, gR, gp, Rl, pl, arrs, z, zxo, is_rev,
+                            dtype):
+        """[Pg, n_dof] joint-space gradient contribution of ONE side's link
+        pose gradients (gR [Pg,3,3], gp [Pg,3]).
+
+        Revolute joint j (axis z_j through o_j) moves a descendant link l
+        with p_l' = z_j x (p_l - o_j), R_l' = [z_j]x R_l, so
+          dd/dq_j = z_j.(p_l x gp + sum_c R_c x gR_c) - (z_j x o_j).gp
+        (triple product z.(o x g) = (z x o).g); prismatic: z_j.gp.
+        Static-geom rows are masked to zero."""
+        m = jnp.cross(pl, gp) + jnp.sum(jnp.cross(Rl, gR, axis=1), axis=2)
+        anc = jnp.asarray(self.tree.ancestor, dtype)
+        mask = (anc[jnp.asarray(np.maximum(arrs["link"], 0))]
+                * jnp.asarray(~arrs["is_static"], dtype)[:, None])
+        term_rev = m @ z.T - gp @ zxo.T              # [Pg, n_dof]
+        term_pri = gp @ z.T
+        return mask * jnp.where(is_rev[None, :], term_rev, term_pri)
+
     def distances_and_jac(self, q: jax.Array, params=None):
         """([n_pairs] distances, [n_pairs, n_dof] Jacobian) with the
-        Jacobian composed analytically: distance cotangents w.r.t. LINK
-        POSES (a vjp through the shallow narrowphase only) chained with
-        the geometric-Jacobian velocity relations — the reference's
-        grad = ±n' J_link with ref-point shift (collision_terms.cpp:203-323)
-        generalized to every primitive pair by autodiff in pose space.
+        Jacobian composed analytically PER PAIR: each pair's distance
+        depends only on its two geoms' link poses, so its gradient is one
+        value_and_grad of the scalar primitive kernel w.r.t. those two
+        poses, chained with the geometric-Jacobian velocity relations —
+        the reference's grad = ±n' J_link with ref-point shift
+        (collision_terms.cpp:203-323) generalized to every primitive pair.
 
-        This avoids pulling n_pairs reverse tangents back through the FK
-        chain (the dominant cost of jacrev(distances): the chain is a
-        sequential composition the backward pass re-traverses per tangent;
-        measured 4.4 ms/convexify at B=128 flagship before this path).
+        This keeps memory and work O(n_pairs): the earlier whole-scene
+        pullback (vjp over the full narrowphase, vmapped over
+        eye(n_pairs)) batched every backward intermediate by n_pairs —
+        O(n_pairs^2) — which exhausts memory at reference-scale scenes
+        (PR2: 1759 pairs -> ~200 GB of batched pullback intermediates).
         """
         dtype = q.dtype
         R, p, z, o = self.tree.fk_with_axes(q)
-        ds, vjp = jax.vjp(
-            lambda Rl, pl: self._distances_from_poses(Rl, pl, dtype, params),
-            R, p)
-        anc = jnp.asarray(self.tree.ancestor, dtype)          # [L, n_dof]
-        is_rev = jnp.asarray(self.tree._active_types() == 0)  # [n_dof]
+        zxo = jnp.cross(z, o)
+        is_rev = jnp.asarray(self.tree._active_types() == 0)
+        n = self.n_pairs
+        out = jnp.zeros((n,), dtype)
+        J = jnp.zeros((n, self.tree.n_dof), dtype)
 
-        def pull(e):
-            gR, gp = vjp(e)                                   # [L,3,3], [L,3]
-            # Revolute joint j (axis z_j through o_j) moves descendant
-            # link l with  p_l' = z_j x (p_l - o_j),  R_l' = [z_j]x R_l:
-            #   dd/dq_j = z_j . sum_l anc[l,j] (p_l x gp_l + sum_c R_c x gR_c)
-            #           - z_j . (o_j x sum_l anc[l,j] gp_l)
-            # Prismatic: dd/dq_j = z_j . sum_l anc[l,j] gp_l.
-            m = (jnp.cross(p, gp)
-                 + jnp.sum(jnp.cross(R, gR, axis=1), axis=2))  # [L, 3]
-            A = anc.T @ m                                      # [n_dof, 3]
-            B = anc.T @ gp                                     # [n_dof, 3]
-            d_rev = jnp.sum(z * (A - jnp.cross(o, B)), axis=1)
-            d_pri = jnp.sum(z * B, axis=1)
-            return jnp.where(is_rev, d_rev, d_pri)
+        for key, idxs, a, b in self._pair_groups():
+            kern = _scalar_kernel(key)
+            Rla, pla, locs_a = self._side_operands(a, R, p, dtype, params)
+            Rlb, plb, locs_b = self._side_operands(b, R, p, dtype, params)
+            pr_a = jnp.asarray(a["params"], dtype)
+            pr_b = jnp.asarray(b["params"], dtype)
 
-        J = jax.vmap(pull)(jnp.eye(self.n_pairs, dtype=dtype))
-        return ds, J
+            def one(r1, t1, r2, t2, Ra_l, pa_l, ea_a, eb_a, pra,
+                    Rb_l, pb_l, ea_b, eb_b, prb, kern=kern):
+                def f(r1_, t1_, r2_, t2_):
+                    return kern(
+                        _pose_geom(r1_, t1_, Ra_l, pa_l, ea_a, eb_a), pra,
+                        _pose_geom(r2_, t2_, Rb_l, pb_l, ea_b, eb_b), prb)
+                return jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+                    r1, t1, r2, t2)
+
+            ds, (gRa, gpa, gRb, gpb) = jax.vmap(one)(
+                Rla, pla, Rlb, plb, *locs_a, pr_a, *locs_b, pr_b)
+            Jg = (self._compose_pose_grads(gRa, gpa, Rla, pla, a, z, zxo,
+                                           is_rev, dtype)
+                  + self._compose_pose_grads(gRb, gpb, Rlb, plb, b, z, zxo,
+                                             is_rev, dtype))
+            out = out.at[jnp.asarray(idxs)].set(ds)
+            J = J.at[jnp.asarray(idxs)].set(Jg)
+
+        for idx, ga, gb in self._sdf_pairs:
+            lid = self.tree.link_id(ga.link) if ga.link is not None else 0
+            R_loc = jnp.asarray(ga.R_local, dtype)
+            p_loc = jnp.asarray(ga.p_local, dtype)
+
+            def f_sdf(Rl_, pl_):
+                Ra = Rl_ @ R_loc
+                pa = Rl_ @ p_loc + pl_
+                return self._sdf_distance(ga, gb, Ra, pa, dtype)
+
+            d, (gR1, gp1) = jax.value_and_grad(f_sdf, argnums=(0, 1))(
+                R[lid], p[lid])
+            arrs1 = {"link": np.asarray([lid]),
+                     "is_static": np.asarray([ga.link is None])}
+            Jr = self._compose_pose_grads(gR1[None], gp1[None],
+                                          R[lid][None], p[lid][None],
+                                          arrs1, z, zxo, is_rev, dtype)
+            out = out.at[idx].set(d)
+            J = J.at[idx].set(Jr[0])
+        return out, J
 
     def _sdf_distance(self, ga: CollGeom, gb: CollGeom, Ra, pa, dtype):
         from trajopt_tpu.collision import sdf_grid as sg
@@ -492,35 +635,126 @@ class CollisionScene:
     def swept_distances_and_jac(self, q0: jax.Array, q1: jax.Array,
                                 params=None):
         """(ds [n_pairs], J0 [n_pairs, n_dof], J1 [n_pairs, n_dof]) for the
-        cast/swept check — pose-space analytic composition exactly like
+        cast/swept check — per-pair analytic composition exactly like
         :meth:`distances_and_jac`, applied independently at each endpoint
         (the reference scales the two casted-state gradients by cc_time;
         here the dependence flows through both endpoint poses exactly)."""
         dtype = q0.dtype
         R0, p0, z0, o0 = self.tree.fk_with_axes(q0)
         R1, p1, z1, o1 = self.tree.fk_with_axes(q1)
-        ds, vjp = jax.vjp(
-            lambda Ra, pa, Rb, pb: self._swept_from_poses(
-                Ra, pa, Rb, pb, dtype, params), R0, p0, R1, p1)
-        anc = jnp.asarray(self.tree.ancestor, dtype)
+        zxo0 = jnp.cross(z0, o0)
+        zxo1 = jnp.cross(z1, o1)
         is_rev = jnp.asarray(self.tree._active_types() == 0)
+        n = self.n_pairs
+        out = jnp.zeros((n,), dtype)
+        J0 = jnp.zeros((n, self.tree.n_dof), dtype)
+        J1 = jnp.zeros((n, self.tree.n_dof), dtype)
+        moving, static, sdf_pairs = self._swept_groups()
 
-        def compose(gR, gp, R, p, z, o):
-            m = (jnp.cross(p, gp)
-                 + jnp.sum(jnp.cross(R, gR, axis=1), axis=2))
-            A = anc.T @ m
-            B = anc.T @ gp
-            d_rev = jnp.sum(z * (A - jnp.cross(o, B)), axis=1)
-            d_pri = jnp.sum(z * B, axis=1)
-            return jnp.where(is_rev, d_rev, d_pri)
+        def c0(gR, gp, Rl, pl, arrs):
+            return self._compose_pose_grads(gR, gp, Rl, pl, arrs, z0, zxo0,
+                                            is_rev, dtype)
 
-        def pull(e):
-            gR0, gp0, gR1, gp1 = vjp(e)
-            return (compose(gR0, gp0, R0, p0, z0, o0),
-                    compose(gR1, gp1, R1, p1, z1, o1))
+        def c1(gR, gp, Rl, pl, arrs):
+            return self._compose_pose_grads(gR, gp, Rl, pl, arrs, z1, zxo1,
+                                            is_rev, dtype)
 
-        J0, J1 = jax.vmap(pull)(jnp.eye(self.n_pairs, dtype=dtype))
-        return ds, J0, J1
+        # moving-vs-moving: endpoint min of the discrete kernel; gradients
+        # flow to both endpoints' link poses (subgradient at the argmin)
+        for key, idxs, a, b in moving:
+            kern = _scalar_kernel(key)
+            Rla0, pla0, locs_a = self._side_operands(a, R0, p0, dtype, params)
+            Rlb0, plb0, locs_b = self._side_operands(b, R0, p0, dtype, params)
+            Rla1, pla1, _ = self._side_operands(a, R1, p1, dtype, params)
+            Rlb1, plb1, _ = self._side_operands(b, R1, p1, dtype, params)
+            pr_a = jnp.asarray(a["params"], dtype)
+            pr_b = jnp.asarray(b["params"], dtype)
+
+            def one(ra0, ta0, rb0, tb0, ra1, ta1, rb1, tb1,
+                    Ra_l, pa_l, ea_a, eb_a, pra, Rb_l, pb_l, ea_b, eb_b,
+                    prb, kern=kern):
+                def f(r1, t1, r2, t2, r3, t3, r4, t4):
+                    d0 = kern(_pose_geom(r1, t1, Ra_l, pa_l, ea_a, eb_a),
+                              pra,
+                              _pose_geom(r2, t2, Rb_l, pb_l, ea_b, eb_b),
+                              prb)
+                    d1 = kern(_pose_geom(r3, t3, Ra_l, pa_l, ea_a, eb_a),
+                              pra,
+                              _pose_geom(r4, t4, Rb_l, pb_l, ea_b, eb_b),
+                              prb)
+                    return jnp.minimum(d0, d1)
+                return jax.value_and_grad(f, argnums=tuple(range(8)))(
+                    ra0, ta0, rb0, tb0, ra1, ta1, rb1, tb1)
+
+            ds, g = jax.vmap(one)(Rla0, pla0, Rlb0, plb0,
+                                  Rla1, pla1, Rlb1, plb1,
+                                  *locs_a, pr_a, *locs_b, pr_b)
+            J0g = c0(g[0], g[1], Rla0, pla0, a) + c0(g[2], g[3], Rlb0, plb0, b)
+            J1g = c1(g[4], g[5], Rla1, pla1, a) + c1(g[6], g[7], Rlb1, plb1, b)
+            ii = jnp.asarray(idxs)
+            out = out.at[ii].set(ds)
+            J0 = J0.at[ii].set(J0g)
+            J1 = J1.at[ii].set(J1g)
+
+        # moving-vs-static: closed-form swept kernels; only side a's link
+        # poses carry gradient (b is configuration-static)
+        for key, idxs, a, b in static:
+            kern = _swept_scalar_kernel(key)
+            Rla0, pla0, locs_a = self._side_operands(a, R0, p0, dtype, params)
+            Rla1, pla1, _ = self._side_operands(a, R1, p1, dtype, params)
+            Rb, pb, eab, ebb = self._posed(b, R0, p0, dtype, params)
+            pr_a = jnp.asarray(a["params"], dtype)
+            pr_b = jnp.asarray(b["params"], dtype)
+
+            def one(ra0, ta0, ra1, ta1, Ra_l, pa_l, ea_a, eb_a, pra,
+                    Rb_, pb_, eab_, ebb_, prb, kern=kern):
+                def f(r1, t1, r3, t3):
+                    return kern(
+                        _pose_geom(r1, t1, Ra_l, pa_l, ea_a, eb_a),
+                        _pose_geom(r3, t3, Ra_l, pa_l, ea_a, eb_a),
+                        pra, (Rb_, pb_, eab_, ebb_), prb)
+                return jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+                    ra0, ta0, ra1, ta1)
+
+            ds, (gR0_, gp0_, gR1_, gp1_) = jax.vmap(one)(
+                Rla0, pla0, Rla1, pla1, *locs_a, pr_a, Rb, pb, eab, ebb,
+                pr_b)
+            ii = jnp.asarray(idxs)
+            out = out.at[ii].set(ds)
+            J0 = J0.at[ii].set(c0(gR0_, gp0_, Rla0, pla0, a))
+            J1 = J1.at[ii].set(c1(gR1_, gp1_, Rla1, pla1, a))
+
+        for idx, ga, gb in sdf_pairs:
+            from trajopt_tpu.collision import sdf_grid as sg
+            lid = self.tree.link_id(ga.link) if ga.link is not None else 0
+            R_loc = jnp.asarray(ga.R_local, dtype)
+            p_loc = jnp.asarray(ga.p_local, dtype)
+
+            def f_sdf(r1, t1, r3, t3):
+                Ra0 = r1 @ R_loc
+                pa0 = r1 @ p_loc + t1
+                Ra1 = r3 @ R_loc
+                pa1 = r3 @ p_loc + t3
+                if ga.kind == SPHERE:
+                    return sg.capsule_sdf_distance(gb.grid, pa0, pa1,
+                                                   ga.params[0])
+                return jnp.minimum(
+                    self._sdf_distance(ga, gb, Ra0, pa0, dtype),
+                    self._sdf_distance(ga, gb, Ra1, pa1, dtype))
+
+            d, (gRa, gpa, gRb_, gpb_) = jax.value_and_grad(
+                f_sdf, argnums=(0, 1, 2, 3))(R0[lid], p0[lid],
+                                             R1[lid], p1[lid])
+            arrs1 = {"link": np.asarray([lid]),
+                     "is_static": np.asarray([ga.link is None])}
+            out = out.at[idx].set(d)
+            J0 = J0.at[idx].set(
+                c0(gRa[None], gpa[None], R0[lid][None], p0[lid][None],
+                   arrs1)[0])
+            J1 = J1.at[idx].set(
+                c1(gRb_[None], gpb_[None], R1[lid][None], p1[lid][None],
+                   arrs1)[0])
+        return out, J0, J1
 
     # ------------------------------------------------- swept narrowphase
 

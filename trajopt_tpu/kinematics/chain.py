@@ -61,11 +61,48 @@ class KinematicTree:
 
     # ----------------------------------------------------------------- FK
 
+    def _fk_consts(self):
+        """Precomputed per-joint constant arrays for the scan-form FK."""
+        cache = getattr(self, "_fk_consts_cache", None)
+        if cache is not None:
+            return cache
+        J = len(self.joints)
+        R_or = np.stack([rpy_matrix(np.asarray(j.origin_rpy))
+                         for j in self.joints])
+        p_or = np.stack([np.asarray(j.origin_xyz, float)
+                         for j in self.joints])
+        axis = np.stack([np.asarray(j.axis, float) for j in self.joints])
+        qsel = np.zeros((J, self.n_dof))
+        is_rev = np.zeros(J)
+        is_pri = np.zeros(J)
+        for k, j in enumerate(self.joints):
+            qi = self.q_index[k]
+            if qi >= 0:
+                qsel[k, qi] = 1.0
+                if j.jtype == urdf_mod.REVOLUTE:
+                    is_rev[k] = 1.0
+                else:
+                    is_pri[k] = 1.0
+        consts = (R_or, p_or, axis, qsel, is_rev, is_pri,
+                  np.asarray(self.parent_link), np.asarray(self.child_link))
+        object.__setattr__(self, "_fk_consts_cache", consts)
+        return consts
+
     def fk(self, q: jax.Array) -> tuple[jax.Array, jax.Array]:
         """World poses of all links for one configuration q [n_dof].
 
         Returns (R [n_links,3,3], p [n_links,3]).  vmap for batches.
-        """
+
+        Small trees unroll the topological loop at trace time; larger
+        trees (reference-class robots) use a lax.scan over the joint
+        arrays so the FK contributes ONE scan body to the HLO instead of
+        n_joints unrolled copies per call site (compile-time lever — the
+        solver traces FK at many sites)."""
+        if len(self.joints) >= 10:
+            return self._fk_scan(q)
+        return self._fk_unrolled(q)
+
+    def _fk_unrolled(self, q: jax.Array) -> tuple[jax.Array, jax.Array]:
         dtype = q.dtype
         Rs = [None] * self.n_links
         ps = [None] * self.n_links
@@ -85,29 +122,57 @@ class KinematicTree:
             ps[self.child_link[k]] = pj
         return jnp.stack(Rs), jnp.stack(ps)
 
+    def _fk_scan(self, q: jax.Array) -> tuple[jax.Array, jax.Array]:
+        dtype = q.dtype
+        R_or, p_or, axis, qsel, is_rev, is_pri, par, chd = self._fk_consts()
+        theta = jnp.asarray(qsel, dtype) @ q                  # [J]
+        R0 = jnp.zeros((self.n_links, 3, 3), dtype).at[0].set(
+            jnp.eye(3, dtype=dtype))
+        p0 = jnp.zeros((self.n_links, 3), dtype)
+        xs = (jnp.asarray(R_or, dtype), jnp.asarray(p_or, dtype),
+              jnp.asarray(axis, dtype), theta,
+              jnp.asarray(is_rev, dtype), jnp.asarray(is_pri, dtype),
+              jnp.asarray(par), jnp.asarray(chd))
+
+        def step(carry, x):
+            Rs, ps = carry
+            Ro, po, ax, th, rev, pri, pk, ck = x
+            Rp = Rs[pk]
+            pp = ps[pk]
+            Rj = Rp @ Ro
+            pj = Rp @ po + pp
+            # angle 0 -> identity, so fixed/prismatic joints pass through
+            Rj = Rj @ axis_angle_matrix(ax, th * rev)
+            pj = pj + Rj @ (ax * (th * pri))
+            return (Rs.at[ck].set(Rj), ps.at[ck].set(pj)), None
+
+        (Rs, ps), _ = jax.lax.scan(step, (R0, p0), xs)
+        return Rs, ps
+
     def fk_with_axes(self, q: jax.Array):
         """FK plus per-active-joint world axis z_i and origin o_i (for the
-        geometric Jacobian)."""
+        geometric Jacobian).
+
+        The joint frame = child link frame; for revolute joints the axis
+        is unaffected by the joint's own rotation, so Rc @ axis is exact
+        for both types."""
         dtype = q.dtype
         R, p = self.fk(q)
-        z = jnp.zeros((self.n_dof, 3), dtype)
-        o = jnp.zeros((self.n_dof, 3), dtype)
-        for k, j in enumerate(self.joints):
-            qi = self.q_index[k]
-            if qi < 0:
-                continue
-            # The joint frame = child link frame *before* applying q for
-            # revolute (the axis is unaffected by its own rotation).
-            Rc = R[self.child_link[k]]
-            pc = p[self.child_link[k]]
-            axis = jnp.asarray(j.axis, dtype)
-            if j.jtype == urdf_mod.REVOLUTE:
-                # Rc includes rotation about axis, which fixes axis itself.
-                z = z.at[qi].set(Rc @ axis)
-                o = o.at[qi].set(pc)
-            else:  # prismatic
-                z = z.at[qi].set(Rc @ axis)
-                o = o.at[qi].set(pc)
+        cache = getattr(self, "_axes_consts_cache", None)
+        if cache is None:
+            child = np.zeros(self.n_dof, np.int64)
+            ax = np.zeros((self.n_dof, 3))
+            for k, j in enumerate(self.joints):
+                qi = self.q_index[k]
+                if qi >= 0:
+                    child[qi] = self.child_link[k]
+                    ax[qi] = np.asarray(j.axis, float)
+            cache = (child, ax)
+            object.__setattr__(self, "_axes_consts_cache", cache)
+        child, ax = cache
+        Rc = R[jnp.asarray(child)]                            # [n_dof,3,3]
+        z = jnp.einsum("jik,jk->ji", Rc, jnp.asarray(ax, dtype))
+        o = p[jnp.asarray(child)]
         return R, p, z, o
 
     def jacobian(self, q: jax.Array, link: int | str,
