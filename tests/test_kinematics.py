@@ -188,3 +188,27 @@ def test_avoid_singularity_cost_improves_sigma_min():
     assert smin(q0) < 0.1  # hinge active at the start
     res = prob.make_solve()(stationary_init(q0, n))
     assert smin(res.x.reshape(2)) > smin(q0)
+
+
+def test_fk_consts_first_built_inside_trace():
+    """Regression: the scan-form FK's cached constants must be host-side
+    numpy even when fk() is FIRST invoked inside a jit trace (jnp ops would
+    be staged there and np.stack over tracers raised
+    TracerArrayConversionError — seen via TrajOptProblem._validate_terms's
+    eval_shape on the pr2ish cast term)."""
+    from trajopt_tpu.models.robots import pr2ish
+
+    tree = pr2ish()
+    assert len(tree.joints) >= 10  # uses the scan path
+    # fresh instance so no cache is populated by other tests
+    tree = build_tree(load_urdf(os.path.join(
+        os.path.dirname(pr2ish.__wrapped__.__code__.co_filename),
+        "..", "data", "pr2ish.urdf")))
+    q = jnp.zeros(tree.n_dof)
+    R_t, p_t = jax.jit(tree.fk)(q)  # first call: inside trace
+    tree2 = build_tree(load_urdf(os.path.join(
+        os.path.dirname(pr2ish.__wrapped__.__code__.co_filename),
+        "..", "data", "pr2ish.urdf")))
+    R_e, p_e = tree2.fk(q)          # eager reference
+    np.testing.assert_allclose(np.asarray(R_t), np.asarray(R_e), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_t), np.asarray(p_e), atol=1e-6)

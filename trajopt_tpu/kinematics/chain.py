@@ -21,7 +21,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from trajopt_tpu.kinematics import urdf as urdf_mod
-from trajopt_tpu.kinematics.transforms import axis_angle_matrix, compose, rpy_matrix
+from trajopt_tpu.kinematics.transforms import axis_angle_matrix, compose
+
+
+def _np_rpy_matrix(rpy) -> np.ndarray:
+    """Pure-numpy URDF fixed-axis RPY (R = Rz @ Ry @ Rx).
+
+    FK constants must be host-side numpy even when first requested inside a
+    jit trace (jnp ops would be staged and return tracers there)."""
+    r, p, y = float(rpy[0]), float(rpy[1]), float(rpy[2])
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    return np.array([
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+        [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+        [-sp, cp * sr, cp * cr],
+    ])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,7 +83,7 @@ class KinematicTree:
         if cache is not None:
             return cache
         J = len(self.joints)
-        R_or = np.stack([rpy_matrix(np.asarray(j.origin_rpy))
+        R_or = np.stack([_np_rpy_matrix(j.origin_rpy)
                          for j in self.joints])
         p_or = np.stack([np.asarray(j.origin_xyz, float)
                          for j in self.joints])
@@ -110,7 +126,7 @@ class KinematicTree:
         ps[0] = jnp.zeros(3, dtype=dtype)
         for k, j in enumerate(self.joints):
             Rp, pp = Rs[self.parent_link[k]], ps[self.parent_link[k]]
-            R_or = jnp.asarray(rpy_matrix(np.asarray(j.origin_rpy)), dtype)
+            R_or = jnp.asarray(_np_rpy_matrix(j.origin_rpy), dtype)
             p_or = jnp.asarray(np.asarray(j.origin_xyz), dtype)
             Rj, pj = compose(Rp, pp, R_or, p_or)
             qi = self.q_index[k]
