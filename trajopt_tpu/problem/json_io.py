@@ -177,6 +177,16 @@ def construct_problem(doc: dict | str, env: Environment) -> JsonProblem:
     backend = str(bi.get("convex_solver",
                          _os.environ.get("TRAJOPT_CONVEX_SOLVER",
                                          "jax"))).lower()
+    if backend not in ("jax", "native", "ipm"):
+        raise ValueError(f"unknown convex_solver {backend!r} "
+                         "(expected 'jax', 'native', or 'ipm')")
+    if backend == "ipm":
+        # Second algorithm class (interior-point, qp/ipm.py) on the jitted
+        # solver path — the reference's selectable QP backend role
+        # (solver_interface.cpp:255-292; BPMPD/Gurobi are interior-point).
+        import dataclasses as _dc
+        sqp = _dc.replace(sqp, qp_algorithm="ipm")
+        backend = "jax"
     return JsonProblem(prob, init_traj, sqp, backend=backend,
                        log_results=bool(oi.get("log_results", False)),
                        log_dir=str(oi.get("log_dir", "/tmp")))

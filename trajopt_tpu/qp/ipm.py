@@ -5,8 +5,8 @@ reference's qpOASES / Gurobi / BPMPD backends play beside OSQP
 (``trajopt_sco/src/solver_interface.cpp:255-292``; BPMPD itself is an
 interior-point code).  ADMM is a first-order splitting method: fast to
 medium accuracy, the TPU throughput path.  This IPM is a second-order
-method: ~15-30 Newton steps to 1e-8 KKT residuals, the high-accuracy /
-cross-validation path.  On a single v5e TensorCore the batched dense
+method: ~10-30 Newton steps to a 1e-10-level complementarity gap and
+~1e-6-relative KKT residuals, the high-accuracy / cross-validation path.  On a single v5e TensorCore the batched dense
 factorizations are latency-bound (see ROADMAP.md "batched interior-point"),
 so it is opt-in: ``convex_solver: "ipm"`` in JSON / TRAJOPT_CONVEX_SOLVER,
 or ``solve_qp_ipm`` directly.
@@ -52,9 +52,28 @@ class IPMConfig:
     """Static-under-jit configuration."""
 
     max_iter: int = 50
-    eps: float = 1e-8          # duality-gap and residual target (per scale)
-    big_m: float = 1e6         # exact-penalty weight standing in for c = inf
-    reg: float = 1e-9          # static Tikhonov on the reduced system
+    eps: float = 1e-8          # complementarity-gap (mu) target
+    # Relative primal/dual residual target.  Looser than eps by design: at
+    # big-M *equality* rows (l = u) all three slacks collapse to
+    # t = 3mu/c_eff ~ 1e-15, the barrier weights lam/s reach ~1e18, and K
+    # is numerically singular in f64.  The residual floor is then problem-
+    # dependent (2e-7 .. 2e-4 relative observed) even with iterative
+    # refinement — the error lives in the degenerate dual-split directions
+    # while the PRIMAL iterate matches a 1e-9 ADMM solve to ~5e-5 and the
+    # objective to ~1e-8 (see test_ipm_matches_admm_on_random_qps).
+    # Solution quality is governed by the mu gate; this gate only rejects
+    # genuinely unsolved problems.
+    eps_res: float = 1e-3
+    # Exact-penalty weight standing in for c = inf.  Exactness needs
+    # big_m > the optimal dual magnitude of the hard row; SQP box/constraint
+    # duals are O(|Px+q|) here, so 1e4 is ample while keeping the reduced
+    # system ~1e12 better conditioned than the old 1e6 x 1e6 diag spread.
+    big_m: float = 1e4
+    # Static Tikhonov on the reduced system.  1e-11 is the f64 default:
+    # 1e-9 leaves a ~1e-7 relative-residual floor on ill-conditioned
+    # big-M systems (grazes the eps=1e-8 gate); f32 callers should raise
+    # this to ~1e-6 together with eps.
+    reg: float = 1e-11
     tau: float = 0.995         # fraction-to-boundary step clamp
     min_mu: float = 1e-12
 
@@ -95,20 +114,46 @@ def solve_qp_ipm(qp: QPData, x0: jax.Array | None = None,
     m = qp.A.shape[0]
     c_eff = jnp.minimum(qp.c, cfg.big_m)
 
-    # --- strictly-interior start (standard Mehrotra-style heuristic) ----
+    # One-sided rows (l = -inf or u = +inf, e.g. hinge penalty rows) are
+    # MASKED out of their barrier block instead of clamped to a fake finite
+    # bound: the masked block keeps lam = 0 and a dummy slack s = 1 forever
+    # (dlam = -(r_c + lam ds)/s is identically 0 when lam = r_c = 0), so it
+    # contributes nothing to K, mu, or the residuals — all shapes stay
+    # static for jit/vmap.
+    mask_u = jnp.isfinite(qp.u)
+    mask_l = jnp.isfinite(qp.l)
+    u_s = jnp.where(mask_u, qp.u, 0.0)
+    l_s = jnp.where(mask_l, qp.l, 0.0)
+    mask = jnp.concatenate([mask_u, mask_l, jnp.ones(m, bool)])
+    n_act = jnp.sum(mask_u) + jnp.sum(mask_l) + m  # complementarity pairs
+
+    # --- strictly-interior start ----------------------------------------
     x = jnp.zeros(n, dtype) if x0 is None else x0.astype(dtype)
     Ax = qp.A @ x
-    viol = jnp.maximum(Ax - qp.u, qp.l - Ax)
+    viol = jnp.maximum(jnp.where(mask_u, Ax - u_s, 0.0),
+                       jnp.where(mask_l, l_s - Ax, 0.0))
     t = jnp.maximum(viol, 0.0) + 1.0
     w = jnp.concatenate([x, t])
-    one = jnp.ones((), dtype)
-    lam = jnp.concatenate([jnp.full(m, one), jnp.full(m, one),
-                           jnp.full(m, one)])
+    # Duals start on the t-stationarity manifold (lu + ll + lt = c_eff per
+    # row, so r_dt = 0 at the first iterate): big-M rows otherwise need the
+    # duals to climb orders of magnitude from lam = 1, which Mehrotra
+    # steps overshoot into divergence on ill-conditioned problems.
+    n_blocks = mask_u.astype(dtype) + mask_l.astype(dtype) + 1.0
+    lam1 = jnp.maximum(c_eff / n_blocks, 1e-3)
+    lam = jnp.concatenate([lam1, lam1, lam1])
     su, sl, st = _apply_G(qp.A, x, t)
-    s = jnp.concatenate([qp.u - su, -qp.l - sl, -st])
+    s = jnp.concatenate([u_s - su, -l_s - sl, -st])
+    lam = jnp.where(mask, lam, 0.0)
+    s = jnp.where(mask, s, 1.0)
 
-    h_scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(qp.u)), jnp.max(jnp.abs(qp.l)))
-    g_scale = 1.0 + jnp.max(jnp.abs(qp.q))
+    h_scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(u_s)), jnp.max(jnp.abs(l_s)))
+    # Per-block dual scales: x-stationarity rows scale with the gradient
+    # data, t-stationarity rows with the (possibly big-M) penalty weights.
+    # One combined max would let big_m = 1e4 hide a 1e-5-absolute
+    # x-stationarity error behind a "relative" 1e-9.
+    gx_scale = 1.0 + jnp.max(jnp.abs(qp.q))
+    gt_scale = 1.0 + jnp.max(c_eff)
+    g_scale = jnp.concatenate([jnp.full(n, gx_scale), jnp.full(m, gt_scale)])
 
     def residuals(w, lam, s):
         x, t = w[:n], w[n:]
@@ -117,10 +162,10 @@ def solve_qp_ipm(qp: QPData, x0: jax.Array | None = None,
         r_dx = qp.P @ x + qp.q + gx
         r_dt = c_eff + gt
         gu, gl, gtt = _apply_G(qp.A, x, t)
-        r_p = jnp.concatenate([gu + s[:m] - qp.u,
-                               gl + s[m:2 * m] + qp.l,
+        r_p = jnp.concatenate([gu + s[:m] - u_s,
+                               gl + s[m:2 * m] + l_s,
                                gtt + s[2 * m:]])
-        return jnp.concatenate([r_dx, r_dt]), r_p
+        return jnp.concatenate([r_dx, r_dt]), jnp.where(mask, r_p, 0.0)
 
     def step(state: _IPMState) -> _IPMState:
         w, lam, s = state.w, state.lam, state.s
@@ -145,11 +190,12 @@ def solve_qp_ipm(qp: QPData, x0: jax.Array | None = None,
         chol = cho_factor(K)
 
         r_d, r_p = residuals(w, lam, s)
-        mu = jnp.dot(lam, s) / (3 * m)
+        mu = jnp.dot(lam, s) / n_act
 
         def newton(r_d, r_p, r_c):
             """Solve the full PD system for (dw, dlam, ds) given residuals
-            (dual, primal, complementarity r_c = Lam s - target)."""
+            (dual, primal, complementarity r_c = Lam s - target).  r_c must
+            be 0 on masked rows so their (lam, s) stay pinned at (0, 1)."""
             # ds = -(r_p + G dw);  dlam = -(r_c + Lam ds)/s
             # => K dw = -r_d + G'( (r_c - Lam r_p) / s )
             rhs_corr = (r_c - lam * r_p) / s
@@ -157,9 +203,15 @@ def solve_qp_ipm(qp: QPData, x0: jax.Array | None = None,
                                rhs_corr[2 * m:])
             rhs = -r_d + jnp.concatenate([gx, gt])
             dw = cho_solve(chol, rhs)
+            # One round of iterative refinement: near convergence the
+            # barrier weights lam/s reach ~1e12, and the raw Cholesky solve
+            # leaves ~cond * eps_machine absolute error in dw; refinement
+            # recovers ~4 digits of x-stationarity at the cost of one
+            # extra matvec + trisolve pair.
+            dw = dw + cho_solve(chol, rhs - K @ dw)
             gu, gl, gtt = _apply_G(qp.A, dw[:n], dw[n:])
             Gdw = jnp.concatenate([gu, gl, gtt])
-            ds = -(r_p + Gdw)
+            ds = jnp.where(mask, -(r_p + Gdw), 0.0)
             dlam = -(r_c + lam * ds) / s
             return dw, dlam, ds
 
@@ -168,16 +220,19 @@ def solve_qp_ipm(qp: QPData, x0: jax.Array | None = None,
 
         def max_step(v, dv):
             # largest a in (0, 1] with v + a dv >= (1 - tau) v
+            one = jnp.ones((), dtype)
             ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -one), jnp.inf)
             return jnp.minimum(1.0, cfg.tau * jnp.min(ratio))
 
         a_p = max_step(s, ds_a)
         a_d = max_step(lam, dlam_a)
-        mu_aff = jnp.dot(lam + a_d * dlam_a, s + a_p * ds_a) / (3 * m)
+        mu_aff = jnp.dot(lam + a_d * dlam_a, s + a_p * ds_a) / n_act
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, cfg.min_mu)) ** 3, 0.0, 1.0)
 
-        # Corrector: centering + Mehrotra second-order term
-        r_c = lam * s + dlam_a * ds_a - sigma * mu
+        # Corrector: centering + Mehrotra second-order term (masked rows
+        # keep r_c = 0: lam*s = dlam_a*ds_a = 0 there, and the centering
+        # term must not leak in)
+        r_c = jnp.where(mask, lam * s + dlam_a * ds_a - sigma * mu, 0.0)
         dw_c, dlam_c, ds_c = newton(r_d, r_p, r_c)
 
         a_p = max_step(s, ds_c)
@@ -187,26 +242,40 @@ def solve_qp_ipm(qp: QPData, x0: jax.Array | None = None,
         s_n = s + a_p * ds_c
 
         r_d_n, r_p_n = residuals(w_n, lam_n, s_n)
-        mu_n = jnp.dot(lam_n, s_n) / (3 * m)
-        res = jnp.maximum(jnp.max(jnp.abs(r_d_n)) / g_scale,
+        mu_n = jnp.dot(lam_n, s_n) / n_act
+        res = jnp.maximum(jnp.max(jnp.abs(r_d_n) / g_scale),
                           jnp.max(jnp.abs(r_p_n)) / h_scale)
-        conv = (mu_n <= cfg.eps * 10.0) & (res <= cfg.eps * 10.0)
-        # guard: a non-finite step (singular K) keeps the previous iterate
+        conv = (mu_n <= cfg.eps * 10.0) & (res <= cfg.eps_res)
+        # guard: a non-finite step (singular K) keeps the previous iterate;
+        # masked rows are pinned at (lam, s) = (0, 1), exclude them from
+        # the strict-positivity check
         ok = jnp.all(jnp.isfinite(w_n)) & jnp.all(jnp.isfinite(lam_n)) \
-            & jnp.all(s_n > 0) & jnp.all(lam_n > 0)
+            & jnp.all(jnp.where(mask, s_n, 1.0) > 0) \
+            & jnp.all(jnp.where(mask, lam_n, 1.0) > 0)
+        # Freeze converged lanes: under vmap the combined while_loop keeps
+        # stepping until EVERY lane's cond is false, and extra Newton steps
+        # at mu ~ min_mu would drift a converged lane away from the
+        # single-problem result.
+        ok = ok & ~state.converged
+        # A failed (non-finite / boundary-crossing) step keeps the previous
+        # iterate, reports NOT converged, and forces loop exit via the
+        # iteration counter — it must not masquerade as success.
+        halt = ~ok & ~state.converged
         return _IPMState(
             w=jnp.where(ok, w_n, w), lam=jnp.where(ok, lam_n, lam),
-            s=jnp.where(ok, s_n, s), iters=state.iters + 1,
+            s=jnp.where(ok, s_n, s),
+            iters=jnp.where(halt, jnp.asarray(cfg.max_iter, jnp.int32),
+                            state.iters + 1),
             mu=jnp.where(ok, mu_n, state.mu),
             res=jnp.where(ok, res, state.res),
-            converged=jnp.where(ok, conv, jnp.asarray(True)),
+            converged=jnp.where(ok, conv, state.converged),
         )
 
     r_d0, r_p0 = residuals(w, lam, s)
     init = _IPMState(
         w=w, lam=lam, s=s, iters=jnp.asarray(0, jnp.int32),
-        mu=jnp.dot(lam, s) / (3 * m),
-        res=jnp.maximum(jnp.max(jnp.abs(r_d0)) / g_scale,
+        mu=jnp.dot(lam, s) / n_act,
+        res=jnp.maximum(jnp.max(jnp.abs(r_d0) / g_scale),
                         jnp.max(jnp.abs(r_p0)) / h_scale),
         converged=jnp.asarray(False),
     )

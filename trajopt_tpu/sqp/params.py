@@ -71,3 +71,9 @@ class SQPParams:
     # max_merit_coeff_increases instead.
     max_time: float = float("inf")
     qp: ADMMConfig = ADMMConfig(eps_abs=1e-8, eps_rel=1e-8, max_iter=1500)
+    # QP algorithm class: "admm" (first-order prox splitting, the TPU
+    # throughput path) or "ipm" (second-order Mehrotra predictor-corrector,
+    # qp/ipm.py — the high-accuracy / cross-validation path, the role the
+    # reference's BPMPD/Gurobi interior-point backends play next to OSQP,
+    # solver_interface.cpp:255-292).  Dense path only; static under jit.
+    qp_algorithm: str = "admm"

@@ -165,6 +165,11 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
     """
 
     n = nlp.n
+    if sqp.qp_algorithm not in ("admm", "ipm"):
+        raise ValueError(f"unknown qp_algorithm {sqp.qp_algorithm!r}")
+    if sqp.qp_algorithm == "ipm" and structured:
+        raise ValueError("qp_algorithm='ipm' supports the dense path only "
+                         "(the banded/block streams are ADMM-specific)")
     n_cost = nlp.num_cost_sets
     # Merit units: one per constraint group (per step/gap for collision
     # sets), matching the reference's one-Constraint-per-step hatching.
@@ -306,6 +311,18 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                         zc0=ts.z[:m_banded], zb0=ts.z[m_banded:],
                         yc0=ts.y[:m_banded], yb0=ts.y[m_banded:],
                         cfg=sqp.qp)
+                elif sqp.qp_algorithm == "ipm":
+                    from trajopt_tpu.qp.ipm import IPMConfig, solve_qp_ipm
+                    qp = build_qp(model, state.merit_coeffs, lb_box, ub_box,
+                                  dtype)
+                    # dtype is known at trace time: f32 (TPU) cannot reach
+                    # 1e-8 KKT residuals — run the barrier to its f32 floor.
+                    if dtype == jnp.float32:
+                        ipm_cfg = IPMConfig(eps=max(1e-5, sqp.qp.eps_abs),
+                                            eps_res=1e-3, reg=1e-7)
+                    else:
+                        ipm_cfg = IPMConfig(eps=min(1e-8, sqp.qp.eps_abs))
+                    res = solve_qp_ipm(qp, ts.x, cfg=ipm_cfg)
                 else:
                     qp = build_qp(model, state.merit_coeffs, lb_box, ub_box,
                                   dtype)

@@ -57,5 +57,6 @@ def env_log_level(default: str = "INFO") -> str:
 
 
 def env_qp_backend(default: str = "jax") -> str:
-    """TRAJOPT_CONVEX_SOLVER analog: 'jax' (TPU ADMM) or 'native' (C++)."""
+    """TRAJOPT_CONVEX_SOLVER analog: 'jax' (TPU ADMM), 'ipm'
+    (interior-point second algorithm class), or 'native' (C++)."""
     return os.environ.get("TRAJOPT_CONVEX_SOLVER", default).lower()
