@@ -45,6 +45,7 @@ __all__ = [
     "Bounds", "BoundsEquality", "BoundSmallerZero", "BoundGreaterZero",
     "NoBound", "Var", "Node", "NodesVariables", "VariableSet",
     "ConstraintSet", "CostTerm", "SquaredCost", "AbsoluteCost", "Problem",
+    "DiscreteCollisionConstraint", "ContinuousCollisionConstraint",
 ]
 
 
@@ -285,6 +286,22 @@ class Problem:
         lo_fin = np.isfinite(cs.lower) & ~eq
         hi_fin = np.isfinite(cs.upper) & ~eq
         out: list[TermSet] = []
+
+        def jac_rows(idx, sign=1.0):
+            """Analytic-Jacobian row selection when the set provides one
+            (e.g. the collision constraints' error-weighted-average
+            gradients, which autodiff of values() would NOT reproduce —
+            the reference pairs calcValues with a hand-built Jacobian the
+            same way, discrete_collision_constraint.cpp:142-162)."""
+            if cs.jacobian is None:
+                return None
+
+            def jf(v, cs=cs, idx=idx, sign=sign):
+                return sign * jnp.take(cs.jacobian(v), jnp.asarray(idx),
+                                       axis=0)
+
+            return self._reader_fn(jf)
+
         if eq.any():
             idx = np.flatnonzero(eq)
             tgt = cs.lower[idx]
@@ -294,7 +311,8 @@ class Problem:
                     jnp.asarray(tgt, v.flat.dtype)
 
             out.append(TermSet(name=f"{cs.name}/eq", kind=Kind.CNT_EQ,
-                               fn=self._reader_fn(f_eq), n_rows=int(eq.sum())))
+                               fn=self._reader_fn(f_eq), n_rows=int(eq.sum()),
+                               jac_fn=jac_rows(idx)))
         if hi_fin.any():
             idx = np.flatnonzero(hi_fin)
             ub = cs.upper[idx]
@@ -305,7 +323,8 @@ class Problem:
 
             out.append(TermSet(name=f"{cs.name}/ub", kind=Kind.CNT_INEQ,
                                fn=self._reader_fn(f_hi),
-                               n_rows=int(hi_fin.sum())))
+                               n_rows=int(hi_fin.sum()),
+                               jac_fn=jac_rows(idx)))
         if lo_fin.any():
             idx = np.flatnonzero(lo_fin)
             lb = cs.lower[idx]
@@ -316,7 +335,8 @@ class Problem:
 
             out.append(TermSet(name=f"{cs.name}/lb", kind=Kind.CNT_INEQ,
                                fn=self._reader_fn(f_lo),
-                               n_rows=int(lo_fin.sum())))
+                               n_rows=int(lo_fin.sum()),
+                               jac_fn=jac_rows(idx, sign=-1.0)))
         return out
 
     def _lower_cost(self, cost: CostTerm) -> TermSet:
@@ -370,3 +390,8 @@ class Problem:
         values = {vs.name: x[vs.start:vs.start + vs.size]
                   for vs in self._var_sets}
         return res, values
+
+
+# Collision constraint sets import from this module, so they load last.
+from trajopt_tpu.ifopt.collision import (  # noqa: E402
+    ContinuousCollisionConstraint, DiscreteCollisionConstraint)

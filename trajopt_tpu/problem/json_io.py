@@ -163,23 +163,31 @@ def construct_problem(doc: dict | str, env: Environment) -> JsonProblem:
         fixed_dofs=list(bi.get("fixed_dofs", [])),
     )
 
-    for section, is_cost in (("costs", True), ("constraints", False)):
-        for i, term_doc in enumerate(doc.get(section, [])):
-            _add_term(prob, env, term_doc, is_cost,
-                      f"{section}[{i}]")
-
+    # Init trajectory is parsed FIRST: collision terms derive their LVS
+    # sub-step count from its per-gap displacement (see _add_term).
     init_traj = _parse_init(doc.get("init_info", {"type": "stationary"}),
                             env, n_steps, use_time)
 
+    for section, is_cost in (("costs", True), ("constraints", False)):
+        for i, term_doc in enumerate(doc.get(section, [])):
+            _add_term(prob, env, term_doc, is_cost,
+                      f"{section}[{i}]", init_traj=init_traj)
+
     oi = doc.get("opt_info", {})
     sqp = _parse_opt_info(oi)
-    import os as _os
-    backend = str(bi.get("convex_solver",
-                         _os.environ.get("TRAJOPT_CONVEX_SOLVER",
-                                         "jax"))).lower()
+    from trajopt_tpu.utils.config import env_qp_backend
+    backend = str(bi.get("convex_solver", env_qp_backend())).lower()
+    # Reference-schema documents use the reference's ModelType names
+    # (solver_interface.hpp:233-259; numerical_ik1.json has AUTO_SOLVER):
+    # first-order/default solvers map to the ADMM path, interior-point
+    # solvers (BPMPD, GUROBI) to the IPM algorithm class.
+    backend = {"auto_solver": "jax", "osqp": "jax", "qpoases": "jax",
+               "bpmpd": "ipm", "gurobi": "ipm"}.get(backend, backend)
     if backend not in ("jax", "native", "ipm"):
         raise ValueError(f"unknown convex_solver {backend!r} "
-                         "(expected 'jax', 'native', or 'ipm')")
+                         "(expected 'jax', 'native', 'ipm', or a reference "
+                         "ModelType name: AUTO_SOLVER/OSQP/QPOASES/BPMPD/"
+                         "GUROBI)")
     if backend == "ipm":
         # Second algorithm class (interior-point, qp/ipm.py) on the jitted
         # solver path — the reference's selectable QP backend role
@@ -193,7 +201,7 @@ def construct_problem(doc: dict | str, env: Environment) -> JsonProblem:
 
 
 def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
-              is_cost: bool, where: str):
+              is_cost: bool, where: str, init_traj=None):
     _ensure_only(doc, {"type", "name", "params", "term_type"}, where)
     ttype = doc["type"]
     params = dict(doc.get("params", {}))
@@ -280,11 +288,22 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
                     pair_coeffs[(link, p)] = float(ent["coeffs"])
                 if "dist_pen" in ent:
                     pair_margins[(link, p)] = float(ent["dist_pen"])
-        # longest_valid_segment_length bounds interpolation spacing; we use
-        # a fixed sub-step count per gap instead (static shapes) — derive a
-        # conservative count from it when provided.
+        # longest_valid_segment_length bounds interpolation spacing.  The
+        # reference subdivides each gap by ACTUAL joint motion at every
+        # CalcCollisions call: ceil(|dq|/lvs) sub-segments
+        # (collision_terms.cpp:845-855).  Static shapes need a fixed count;
+        # derive it from the INIT trajectory's worst gap displacement —
+        # known at construction, and an upper bound in practice since the
+        # smoothing costs only shrink per-gap motion during the solve.
         lvs_len = float(params.get("longest_valid_segment_length", 0.5))
-        lvs_substeps = max(2, min(8, int(np.ceil(0.5 / max(lvs_len, 1e-3)))))
+        if init_traj is not None:
+            tr = np.asarray(init_traj)[:, :n_dof]
+            max_disp = float(np.max(np.linalg.norm(np.diff(tr, axis=0),
+                                                   axis=1))) if n_steps > 1 \
+                else 0.0
+        else:
+            max_disp = 0.5
+        lvs_substeps = max(2, int(np.ceil(max_disp / max(lvs_len, 1e-4))))
         mnc = params.get("max_num_cnt")
         if mnc is None and env.scene.n_pairs > 64:
             # Static all-pairs rows make the QP quadratically large on

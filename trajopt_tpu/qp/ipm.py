@@ -22,10 +22,13 @@ is lifted to the epigraph QP over w = (x, t), t in R^m::
             -A x - t <= -l       (lam_l)
                   -t <= 0        (lam_t)
 
-with ``c_eff = min(c, big_m)``: finite penalty rows keep their exact L1
-weight; hard rows (c = +inf) become big-M exact penalties, which are exact
-for any big_m larger than the optimal dual magnitude (classical exact-L1
-penalty bound) — at convergence their t_i are 0 to solver tolerance.  This
+with ``c_eff = where(isfinite(c), c, big_m)``: finite penalty rows keep
+their exact L1 weight (including SQP merit coefficients escalated to
+``initial_merit_error_coeff * ratio^max_increases`` = 1e6); ONLY hard rows
+(c = +inf) become big-M exact penalties, which are exact for any big_m
+larger than the optimal dual magnitude (classical exact-L1 penalty bound)
+— at convergence their t_i are 0 to solver tolerance, and convergence is
+gated on that slack so big-M inexactness cannot report success.  This
 keeps every shape static and data-independent (no trace-time row masks),
 which is what jit/vmap need.
 
@@ -64,11 +67,21 @@ class IPMConfig:
     # Solution quality is governed by the mu gate; this gate only rejects
     # genuinely unsolved problems.
     eps_res: float = 1e-3
-    # Exact-penalty weight standing in for c = inf.  Exactness needs
-    # big_m > the optimal dual magnitude of the hard row; SQP box/constraint
-    # duals are O(|Px+q|) here, so 1e4 is ample while keeping the reduced
-    # system ~1e12 better conditioned than the old 1e6 x 1e6 diag spread.
+    # FLOOR of the exact-penalty weight standing in for c = inf.  The
+    # effective big-M is derived from data per problem:
+    #   max(big_m, 10 * max finite c, 10 * max |q|)
+    # so hard rows always dominate every finite penalty row (SQP merit
+    # escalation reaches 1e6 -> big-M 1e7 there) and the box-row dual bound
+    # O(|Px + q|) stays covered, while well-scaled problems keep the
+    # well-conditioned 1e4 weight.  A fixed large value instead (1e7
+    # always) stretches the central path ~1e3x and stalls mu within
+    # max_iter on ordinary problems.
     big_m: float = 1e4
+    # Hard-row slack gate: a lane only reports converged when every
+    # c = +inf row's epigraph slack t_i is below this (relative to the
+    # bound scale) — big-M inexactness then surfaces as NOT converged
+    # instead of a silently-violated hard constraint.
+    hard_tol: float = 1e-6
     # Static Tikhonov on the reduced system.  1e-11 is the f64 default:
     # 1e-9 leaves a ~1e-7 relative-residual floor on ill-conditioned
     # big-M systems (grazes the eps=1e-8 gate); f32 callers should raise
@@ -112,7 +125,15 @@ def solve_qp_ipm(qp: QPData, x0: jax.Array | None = None,
     dtype = qp.P.dtype
     n = qp.P.shape[0]
     m = qp.A.shape[0]
-    c_eff = jnp.minimum(qp.c, cfg.big_m)
+    # Only c = +inf rows get the big-M stand-in; finite rows (however
+    # large — merit escalation reaches 1e6) keep their exact L1 weight.
+    # The stand-in is data-derived (see IPMConfig.big_m).
+    hard = ~jnp.isfinite(qp.c)
+    c_fin_max = jnp.max(jnp.where(hard, 0.0, qp.c), initial=0.0)
+    big_m = jnp.maximum(jnp.asarray(cfg.big_m, dtype),
+                        10.0 * jnp.maximum(c_fin_max,
+                                           jnp.max(jnp.abs(qp.q))))
+    c_eff = jnp.where(hard, big_m, qp.c)
 
     # One-sided rows (l = -inf or u = +inf, e.g. hinge penalty rows) are
     # MASKED out of their barrier block instead of clamped to a fake finite
@@ -245,7 +266,11 @@ def solve_qp_ipm(qp: QPData, x0: jax.Array | None = None,
         mu_n = jnp.dot(lam_n, s_n) / n_act
         res = jnp.maximum(jnp.max(jnp.abs(r_d_n) / g_scale),
                           jnp.max(jnp.abs(r_p_n)) / h_scale)
-        conv = (mu_n <= cfg.eps * 10.0) & (res <= cfg.eps_res)
+        # Hard rows must end with ~zero epigraph slack: big-M is only
+        # exact when the t_i of every c = +inf row vanish.
+        t_hard = jnp.max(jnp.where(hard, w_n[n:], 0.0))
+        conv = ((mu_n <= cfg.eps * 10.0) & (res <= cfg.eps_res)
+                & (t_hard <= cfg.hard_tol * h_scale))
         # guard: a non-finite step (singular K) keeps the previous iterate;
         # masked rows are pinned at (lam, s) = (0, 1), exclude them from
         # the strict-positivity check
