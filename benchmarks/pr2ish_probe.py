@@ -33,8 +33,9 @@ def main():
 
     batches = [int(b) for b in sys.argv[1:]] or [64, 96, 128]
     n_steps = 30
+    structured = os.environ.get("BENCH_STRUCTURED", "0") == "1"
     prob, _ = pr2ish_table_problem(n_steps=n_steps)
-    solve = prob.make_solve(_solver_params(), structured=True)
+    solve = prob.make_solve(_solver_params(), structured=structured)
     fn = jax.jit(jax.vmap(lambda i, g: solve(i, {"goal": g})))
 
     for batch in batches:

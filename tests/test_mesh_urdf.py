@@ -115,12 +115,18 @@ def test_reference_pr2_urdf_loads_with_meshes():
     tree = build_tree(model)
     from trajopt_tpu.kinematics.srdf import load_srdf
     srdf = load_srdf(f"{REF_DATA}/pr2.srdf")
+    # hull mode (default): one CONVEX geom per mesh
     scene = scene_from_urdf(
         tree, model, srdf,
+        package_map={"trajopt_common": os.path.dirname(REF_DATA)})
+    n_hulls = sum(1 for g in scene.geoms if g.kind == "convex")
+    assert n_hulls >= 36
+    # decompose mode: every mesh produces at least one fitted primitive
+    scene_d = scene_from_urdf(
+        tree, model, srdf,
         package_map={"trajopt_common": os.path.dirname(REF_DATA)},
-        mesh_max_pieces=4)
-    # every mesh produced at least one primitive
-    n_mesh_prims = sum(1 for g in scene.geoms if "_m" in g.name)
+        mesh_mode="decompose", mesh_max_pieces=4)
+    n_mesh_prims = sum(1 for g in scene_d.geoms if "_m" in g.name)
     assert n_mesh_prims >= 36
     q0 = jnp.zeros(tree.n_dof)
     ds = np.asarray(scene.distances(q0))
@@ -135,6 +141,6 @@ def test_reference_arm_around_table_urdf_loads():
     assert tree.n_dof > 7  # PR2 torso + arm joints at least
     scene = scene_from_urdf(
         tree, model,
-        package_map={"trajopt_common": os.path.dirname(REF_DATA)},
-        mesh_max_pieces=4)
-    assert len(scene.geoms) > 50
+        package_map={"trajopt_common": os.path.dirname(REF_DATA)})
+    assert len(scene.geoms) > 25  # one hull per mesh collision
+    assert sum(1 for g in scene.geoms if g.kind == "convex") > 20

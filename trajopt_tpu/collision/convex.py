@@ -1,0 +1,233 @@
+"""Convex-polytope (mesh hull) narrowphase: sphere-swept vertex sets.
+
+The reference's collision model for mesh geometry is the CONVEX HULL of
+each collision mesh (tesseract converts URDF meshes to convex shapes for
+its contact managers; trajopt's own paper formulates signed distance
+between convex shapes).  This module provides the TPU-native kernel for
+that model: every shape is a padded vertex set + sweep radius
+(sphere-swept polytope) — a hull is its vertices with radius 0, a sphere
+is 1 vertex + r, a capsule 2 vertices + r, a box its 8 corners — and ONE
+kernel covers every pairing:
+
+* separated: Frank-Wolfe with exact line search on the Minkowski-
+  difference support problem (each iteration is two [V,3] matvecs + an
+  argmax — MXU/VPU friendly, fixed iteration count, jit/vmap-clean).
+  The returned distance uses the envelope form ``|wa@Va - wb@Vb|`` with
+  the weights computed under stop_gradient, so pose gradients are the
+  exact witness-point gradients without backprop through the iterations.
+* penetrating: separating-axis (SAT) depth over both hulls' face normals
+  — the EPA role with static shapes.  SAT misses edge-edge axes, which
+  only ever OVER-reports penetration (conservative); with reference-mesh
+  normal counts (~40-80 per hull) the error is small and vanishes at the
+  surface, where the branches agree at 0.
+
+The branch test is SAT's own certificate: ``d_sat >= 0`` proves
+separation (use the FW distance, an upper bound that converges to exact);
+``d_sat < 0`` means no face-normal axis separates (use the SAT depth).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FW_ITERS = 64
+
+
+# The 15 non-empty subsets of a 4-point simplex, as masks [15, 4].
+_SUBSETS = np.array([[int(b) for b in f"{m:04b}"] for m in range(1, 16)],
+                    np.float64)
+
+
+def _chol4_solve(G: jax.Array, b: jax.Array) -> jax.Array:
+    """Closed-form Cholesky solve of SPD 4x4 systems, batched over
+    leading dims — pure arithmetic, no LAPACK custom call (jnp.linalg
+    .solve inside the GJK loop OOMed LLVM on CPU at PR2-fixture scale
+    and is latency-bound on TPU).  Degenerate pivots are floored; their
+    garbage solutions are filtered by the caller's feasibility check."""
+    tiny = jnp.asarray(1e-30, G.dtype)
+
+    def g(i, j):
+        return G[..., i, j]
+
+    l11 = jnp.sqrt(jnp.maximum(g(0, 0), tiny))
+    l21 = g(1, 0) / l11
+    l31 = g(2, 0) / l11
+    l41 = g(3, 0) / l11
+    l22 = jnp.sqrt(jnp.maximum(g(1, 1) - l21 * l21, tiny))
+    l32 = (g(2, 1) - l31 * l21) / l22
+    l42 = (g(3, 1) - l41 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(g(2, 2) - l31 * l31 - l32 * l32, tiny))
+    l43 = (g(3, 2) - l41 * l31 - l42 * l32) / l33
+    l44 = jnp.sqrt(jnp.maximum(
+        g(3, 3) - l41 * l41 - l42 * l42 - l43 * l43, tiny))
+    y1 = b[..., 0] / l11
+    y2 = (b[..., 1] - l21 * y1) / l22
+    y3 = (b[..., 2] - l31 * y1 - l32 * y2) / l33
+    y4 = (b[..., 3] - l41 * y1 - l42 * y2 - l43 * y3) / l44
+    x4 = y4 / l44
+    x3 = (y3 - l43 * x4) / l33
+    x2 = (y2 - l32 * x3 - l42 * x4) / l22
+    x1 = (y1 - l21 * x2 - l31 * x3 - l41 * x4) / l11
+    return jnp.stack([x1, x2, x3, x4], axis=-1)
+
+
+def _closest_on_simplex(W: jax.Array):
+    """Barycentric weights of the closest point to the origin on the
+    convex hull of the 4 points W [4,3] (the GJK distance subproblem),
+    solved by enumerating all 15 vertex subsets: each subset's affine
+    minimizer is lam = G^-1 1 / (1' G^-1 1) with G the subset Gram matrix;
+    the true projection is the feasible (lam >= 0) subset minimizer with
+    the smallest norm.  Branch-free and fixed-shape."""
+    dtype = W.dtype
+    G = W @ W.T                                            # [4, 4]
+    sub = jnp.asarray(_SUBSETS, dtype)                     # [15, 4]
+    # Padded per-subset systems: identity rows/cols off-subset.
+    m2 = sub[:, :, None] * sub[:, None, :]                 # [15, 4, 4]
+    eye = jnp.eye(4, dtype=dtype)
+    Gs = G[None] * m2 + eye[None] * (1.0 - m2)
+    # Tiny ridge keeps degenerate subsets solvable; their lam goes
+    # infeasible or non-minimal and drops out.
+    Gs = Gs + 1e-12 * eye[None]
+    rhs = sub                                              # [15, 4]
+    lam = _chol4_solve(Gs, rhs)                            # [15, 4]
+    lam = lam * sub
+    denom = jnp.sum(lam, axis=1, keepdims=True)
+    lam = lam / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+    pts = lam @ W                                          # [15, 3]
+    n2 = jnp.sum(pts * pts, axis=1)
+    feasible = jnp.all(lam >= -1e-9, axis=1) & \
+        (jnp.abs(denom[:, 0]) > 1e-30) & jnp.all(jnp.isfinite(lam), axis=1)
+    n2 = jnp.where(feasible, n2, jnp.inf)
+    best = jnp.argmin(n2)
+    return jnp.clip(lam[best], 0.0, 1.0)
+
+
+def _gjk_weights(A: jax.Array, B: jax.Array, iters: int = 16):
+    """GJK witness weights for min |x - y|, x in conv(A), y in conv(B):
+    a 4-slot simplex on the Minkowski difference, support steps, and the
+    subset-enumeration distance subproblem.  Finite convergence on
+    polytopes (~10 support steps at reference-mesh hull sizes).  Runs on
+    stop-gradient copies; returns (wa [nA], wb [nB]) so the caller forms
+    the envelope distance |wa@A - wb@B| with gradients flowing only
+    through the final weighted sums (exact witness gradients at the
+    optimum)."""
+    A = jax.lax.stop_gradient(A)
+    B = jax.lax.stop_gradient(B)
+    nA, nB = A.shape[0], B.shape[0]
+    dtype = A.dtype
+
+    # init simplex: all 4 slots at the first Minkowski vertex
+    ia0 = jnp.zeros((4,), jnp.int32)
+    ib0 = jnp.zeros((4,), jnp.int32)
+    lam0 = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype)
+
+    def body(_, carry):
+        idA, idB, lam = carry
+        W = A[idA] - B[idB]                                # [4, 3]
+        z = lam @ W
+        sa = jnp.argmin(A @ z)
+        sb = jnp.argmax(B @ z)
+        # replace the least-contributing slot with the new support point
+        slot = jnp.argmin(lam)
+        idA = idA.at[slot].set(sa)
+        idB = idB.at[slot].set(sb)
+        W = A[idA] - B[idB]
+        lam = _closest_on_simplex(W)
+        return idA, idB, lam
+
+    idA, idB, lam = jax.lax.fori_loop(0, iters, body, (ia0, ib0, lam0))
+    wa = jnp.zeros((nA,), dtype).at[idA].add(lam)
+    wb = jnp.zeros((nB,), dtype).at[idB].add(lam)
+    return wa, wb
+
+
+_fw_weights = _gjk_weights  # kernel entry point (name kept for callers)
+
+
+def _sat_depth(Va, Vb, axes, valid):
+    """Best separating gap over candidate axes: max_k gap_k with
+    gap_k = max(min_b - max_a, min_a - max_b) along axis k.  Positive =
+    certified separation (a lower bound of true distance), negative =
+    no candidate axis separates (depth upper... = penetration estimate).
+    ``valid`` masks padded axis rows."""
+    pa = Va @ axes.T                                   # [A, K]
+    pb = Vb @ axes.T
+    # safe norm: zero-padded axis rows would give 0/0 = NaN in the
+    # backward pass even though masked (NaN * 0 = NaN through where)
+    nrm = jnp.sqrt(jnp.sum(axes * axes, axis=1)
+                   + jnp.asarray(1e-24, axes.dtype))
+    gap = jnp.maximum(pb.min(axis=0) - pa.max(axis=0),
+                      pa.min(axis=0) - pb.max(axis=0)) / nrm
+    gap = jnp.where(valid & (nrm > 1e-9), gap, -jnp.inf)
+    return jnp.max(gap)
+
+
+def convex_convex(Va, ra, Vb, rb, axes, axes_valid,
+                  iters: int = FW_ITERS):
+    """Signed distance between two sphere-swept posed vertex sets.
+
+    Va [A,3], Vb [B,3]: world-frame vertices; ra, rb: sweep radii;
+    axes [K,3]: world-frame candidate separating axes (both hulls' face
+    normals), axes_valid [K] masking padding rows.
+    """
+    wa, wb = _gjk_weights(Va, Vb)
+    z = wa @ Va - wb @ Vb
+    # safe norm: at penetration GJK converges to z = 0 and norm's gradient
+    # is 0/0 = NaN, which would poison the selected SAT branch through
+    # jnp.where's vjp; the epsilon keeps the gradient bounded (|g| <= 1).
+    d_fw = jnp.sqrt(z @ z + jnp.asarray(1e-24, z.dtype))
+    # The centroid-difference axis joins the face normals: it closes the
+    # no-normal hole (sphere/capsule sides contribute no faces — for
+    # penetrating spheres it is exactly the right axis) and tightens
+    # corner contacts.
+    cax = jnp.mean(Va, axis=0) - jnp.mean(Vb, axis=0)
+    axes = jnp.concatenate([axes, cax[None, :]], axis=0)
+    axes_valid = jnp.concatenate(
+        [axes_valid, jnp.ones((1,), bool)], axis=0)
+    d_sat = _sat_depth(Va, Vb, axes, axes_valid)
+    d = jnp.where(d_sat >= 0.0, d_fw, d_sat)
+    return d - ra - rb
+
+
+def hull_of(vertices: np.ndarray, max_vertices: int | None = None):
+    """(hull vertices [V,3], deduplicated outward face normals [F,3]) of a
+    point cloud.  ``max_vertices`` optionally decimates by greedy
+    farthest-point selection (slight under-approximation)."""
+    from trajopt_tpu.collision.decompose import _hull_points
+
+    pts = np.asarray(vertices, float)
+    normals = np.zeros((0, 3))
+    hv = pts
+    try:
+        from scipy.spatial import ConvexHull
+
+        # exact hull first — QJ joggles the input by ~1e-3 and biases the
+        # SAT face normals; fall back to QJ only on degenerate inputs
+        try:
+            hull = ConvexHull(pts)
+        except Exception:
+            hull = ConvexHull(pts, qhull_options="QJ")
+        hv = pts[hull.vertices]
+        eq = hull.equations[:, :3]
+        eq = eq / np.maximum(np.linalg.norm(eq, axis=1, keepdims=True),
+                             1e-30)
+        uniq: list = []
+        for n in eq:
+            if not any(abs(float(n @ u)) > 0.99999 for u in uniq):
+                uniq.append(n)
+        normals = np.asarray(uniq)
+    except Exception:
+        from trajopt_tpu.collision.decompose import _hull_points
+
+        hv = _hull_points(pts)
+    if max_vertices is not None and hv.shape[0] > max_vertices:
+        sel = [int(np.argmax(np.linalg.norm(hv - hv.mean(0), axis=1)))]
+        d = np.linalg.norm(hv - hv[sel[0]], axis=1)
+        for _ in range(max_vertices - 1):
+            i = int(np.argmax(d))
+            sel.append(i)
+            d = np.minimum(d, np.linalg.norm(hv - hv[i], axis=1))
+        hv = hv[np.asarray(sel)]
+    return hv, normals

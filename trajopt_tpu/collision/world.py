@@ -33,6 +33,10 @@ from trajopt_tpu.kinematics.transforms import rpy_matrix
 from trajopt_tpu.kinematics import urdf as urdf_mod
 
 SPHERE, CAPSULE, BOX, SDF = "sphere", "capsule", "box", "sdf"
+# Convex polytope (mesh hull) geometry: vertex set + face normals, the
+# reference's model for URDF mesh collisions (tesseract converts meshes
+# to convex shapes).  Narrowphase: collision/convex.py (GJK + SAT).
+CONVEX = "convex"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +58,12 @@ class CollGeom:
     # params-dict key supplying this (static) geom's world center at solve
     # time: enables per-problem randomized scenes under vmap
     p_param: Optional[str] = None
+    # Convex polytope data (kind == "convex"), in the LINK frame (already
+    # composed with any collision-origin transform): hull vertices [V,3]
+    # and deduplicated outward face normals [F,3]; params = (radius,) for
+    # the sphere-swept form (0 for a plain hull).
+    verts: Optional[np.ndarray] = None
+    normals: Optional[np.ndarray] = None
 
 
 def _pose_geom(Rl, pl, R_loc, p_loc, ea_loc, eb_loc):
@@ -129,6 +139,31 @@ def _swept_scalar_kernel(key):
                                disc(pose_b, prb, pose_a1, pra))
         raise ValueError(f"unsupported swept group {key}")
     return kern
+
+
+def _canon_vertex_form(g: CollGeom):
+    """(verts [V,3] link-frame, normals [F,3] link-frame, radius) of ANY
+    geom as a sphere-swept vertex set — the canonical form the convex
+    narrowphase consumes: hull = own vertices + r, sphere = 1 vertex + r,
+    capsule = 2 vertices + r, box = 8 corners + its 3 face normals."""
+    R = np.asarray(g.R_local, float)
+    p = np.asarray(g.p_local, float)
+    if g.kind == CONVEX:
+        return np.asarray(g.verts, float), \
+            (np.asarray(g.normals, float) if g.normals is not None
+             else np.zeros((0, 3))), float(g.params[0]) if g.params else 0.0
+    if g.kind == SPHERE:
+        return p[None, :], np.zeros((0, 3)), float(g.params[0])
+    if g.kind == CAPSULE:
+        ea = R @ np.asarray(g.ea, float) + p
+        eb = R @ np.asarray(g.eb, float) + p
+        return np.stack([ea, eb]), np.zeros((0, 3)), float(g.params[0])
+    if g.kind == BOX:
+        h = np.asarray(g.params, float)
+        corners = np.array([[sx, sy, sz] for sx in (-1, 1)
+                            for sy in (-1, 1) for sz in (-1, 1)], float) * h
+        return corners @ R.T + p, R.T.copy(), 0.0
+    raise ValueError(f"no vertex form for kind {g.kind}")
 
 
 def _world_pose(g: CollGeom, tree: KinematicTree, R_links, p_links, dtype):
@@ -242,6 +277,15 @@ class CollisionScene:
     # each element is frozenset({link1, link2})
     disabled_link_pairs: set[frozenset] = dataclasses.field(default_factory=set)
     check_self_collision: bool = True
+    # Route EVERY pair through the single sphere-swept-vertex-set kernel
+    # (collision/convex.py) instead of per-(kind,kind) closed-form groups:
+    # one narrowphase trace instead of up to ~14, which is the dominant
+    # compile cost at PR2-class scenes (the cast pr2ish solve compiled in
+    # 1905 s on TPU with fragmented groups).  GJK is exact for every
+    # primitive pairing; penetration depth comes from SAT over face
+    # normals + the centroid axis (exact for spheres/face contacts,
+    # conservative at edge contacts).
+    unify_narrowphase: bool = False
 
     def add_geom(self, g: CollGeom) -> "CollisionScene":
         self.geoms.append(g)
@@ -282,6 +326,22 @@ class CollisionScene:
         return self.add_geom(CollGeom(name or f"{link}_box", BOX,
                                       tuple(half_extents), link=link,
                                       p_local=np.asarray(center, float)))
+
+    def add_link_convex(self, link, vertices, name=None, radius=0.0):
+        """Convex hull collision geometry from a vertex cloud in the LINK
+        frame (the tesseract convex-mesh model; narrowphase via
+        collision/convex.py GJK+SAT)."""
+        from trajopt_tpu.collision.convex import hull_of
+        hv, normals = hull_of(np.asarray(vertices, float))
+        return self.add_geom(CollGeom(name or f"{link}_convex", CONVEX,
+                                      (float(radius),), link=link,
+                                      verts=hv, normals=normals))
+
+    def add_world_convex(self, name, vertices, radius=0.0):
+        from trajopt_tpu.collision.convex import hull_of
+        hv, normals = hull_of(np.asarray(vertices, float))
+        return self.add_geom(CollGeom(name, CONVEX, (float(radius),),
+                                      link=None, verts=hv, normals=normals))
 
     # -------------------------------------------------------------- pairs
 
@@ -384,7 +444,7 @@ class CollisionScene:
         of a Python loop over pairs (cuts op-dispatch latency ~n_pairs x)."""
         if getattr(self, "_groups_cache", None) is not None:
             return self._groups_cache
-        rank = {SPHERE: 0, CAPSULE: 1, BOX: 2, SDF: 3}
+        rank = {SPHERE: 0, CAPSULE: 1, BOX: 2, CONVEX: 3, SDF: 4}
         groups: dict = {}
         self._sdf_pairs = []
         for idx, (ga, gb) in enumerate(self.pairs()):
@@ -393,6 +453,12 @@ class CollisionScene:
             if gb.kind == SDF:
                 self._sdf_pairs.append((idx, ga, gb))
                 continue
+            if gb.kind == CONVEX or self.unify_narrowphase:
+                # any pairing that involves a convex hull (or the whole
+                # scene, under unify_narrowphase) runs the unified
+                # sphere-swept-vertex-set kernel (collision/convex.py)
+                groups.setdefault((CONVEX, CONVEX), []).append((idx, ga, gb))
+                continue
             key = (ga.kind, gb.kind)
             if key == (BOX, BOX) and not self._boxbox_aligned(ga, gb):
                 key = (BOX, "obb")  # exact OBB-OBB kernel required
@@ -400,9 +466,11 @@ class CollisionScene:
 
         out = []
         for key, items in groups.items():
+            mk = (self._convex_arrays if key == (CONVEX, CONVEX)
+                  else self._geom_arrays)
             idxs = np.array([i for i, _, _ in items])
-            a = self._geom_arrays([ga for _, ga, _ in items])
-            b = self._geom_arrays([gb for _, _, gb in items])
+            a = mk([ga for _, ga, _ in items])
+            b = mk([gb for _, _, gb in items])
             out.append((key, idxs, a, b))
         self._groups_cache = out
         return out
@@ -423,6 +491,59 @@ class CollisionScene:
                                        (0, 3 - len(g.params)))
                                 for g in geoms]),
         }
+
+    def _convex_arrays(self, geoms):
+        """Stacked canonical sphere-swept vertex sets for one convex
+        narrowphase group [P, ...] (every member converted via
+        _canon_vertex_form; vertices padded edge-mode — duplicate hull
+        vertices are harmless — and normals zero-padded under nvalid)."""
+        forms = [_canon_vertex_form(g) for g in geoms]
+        Vmax = max(f[0].shape[0] for f in forms)
+        Fmax = max(max((f[1].shape[0] for f in forms), default=0), 1)
+        verts = np.stack([np.pad(f[0], ((0, Vmax - f[0].shape[0]), (0, 0)),
+                                 mode="edge") for f in forms])
+        normals = np.stack([np.pad(f[1], ((0, Fmax - f[1].shape[0]), (0, 0)))
+                            for f in forms])
+        nvalid = np.stack([np.arange(Fmax) < f[1].shape[0] for f in forms])
+        for g in geoms:
+            if g.p_param is not None:
+                raise ValueError(
+                    f"{g.name}: p_param is unsupported on convex-group "
+                    f"geometry")
+        return {
+            "link": np.array([self.tree.link_id(g.link) if g.link else -1
+                              for g in geoms]),
+            "is_static": np.array([g.link is None for g in geoms]),
+            "verts": verts,
+            "normals": normals,
+            "nvalid": nvalid,
+            "radius": np.array([f[2] for f in forms]),
+        }
+
+    def _posed_convex(self, arrs, R_links, p_links, dtype):
+        """(world verts [P,V,3], world normals [P,F,3], Rl, pl) for a
+        convex group; static members use identity link poses."""
+        link = jnp.asarray(np.maximum(arrs["link"], 0))
+        static = jnp.asarray(arrs["is_static"])
+        Rl = jnp.where(static[:, None, None],
+                       jnp.eye(3, dtype=dtype)[None], R_links[link])
+        pl = jnp.where(static[:, None], jnp.zeros(3, dtype), p_links[link])
+        vw = jnp.einsum("pij,pvj->pvi", Rl,
+                        jnp.asarray(arrs["verts"], dtype)) + pl[:, None, :]
+        nw = jnp.einsum("pij,pfj->pfi", Rl,
+                        jnp.asarray(arrs["normals"], dtype))
+        return vw, nw, Rl, pl
+
+    def _convex_group_distance(self, a, b, R, p, dtype):
+        from trajopt_tpu.collision.convex import convex_convex
+        vwa, nwa, _, _ = self._posed_convex(a, R, p, dtype)
+        vwb, nwb, _, _ = self._posed_convex(b, R, p, dtype)
+        axes = jnp.concatenate([nwa, nwb], axis=1)
+        valid = jnp.asarray(np.concatenate([a["nvalid"], b["nvalid"]],
+                                           axis=1))
+        return jax.vmap(convex_convex)(
+            vwa, jnp.asarray(a["radius"], dtype), vwb,
+            jnp.asarray(b["radius"], dtype), axes, valid)
 
     @staticmethod
     def _posed(arrs, R_links, p_links, dtype, params=None):
@@ -479,6 +600,10 @@ class CollisionScene:
         n = self.n_pairs
         out = jnp.zeros((n,), dtype)
         for key, idxs, a, b in self._pair_groups():
+            if key == (CONVEX, CONVEX):
+                d = self._convex_group_distance(a, b, R, p, dtype)
+                out = out.at[jnp.asarray(idxs)].set(d)
+                continue
             Ra, pa, eaa, eba = self._posed(a, R, p, dtype, params)
             Rb, pb, eab, ebb = self._posed(b, R, p, dtype, params)
             d = self._group_distance(key, a, b, Ra, pa, eaa, eba,
@@ -559,6 +684,12 @@ class CollisionScene:
         J = jnp.zeros((n, self.tree.n_dof), dtype)
 
         for key, idxs, a, b in self._pair_groups():
+            if key == (CONVEX, CONVEX):
+                ds, Jg = self._convex_pair_grads(a, b, R, p, z, zxo,
+                                                 is_rev, dtype)
+                out = out.at[jnp.asarray(idxs)].set(ds)
+                J = J.at[jnp.asarray(idxs)].set(Jg)
+                continue
             kern = _scalar_kernel(key)
             Rla, pla, locs_a = self._side_operands(a, R, p, dtype, params)
             Rlb, plb, locs_b = self._side_operands(b, R, p, dtype, params)
@@ -603,6 +734,115 @@ class CollisionScene:
             out = out.at[idx].set(d)
             J = J.at[idx].set(Jr[0])
         return out, J
+
+    def _convex_pair_grads(self, a, b, R, p, z, zxo, is_rev, dtype):
+        """Per-pair (distance, joint-Jacobian) of a convex group via
+        value_and_grad of the GJK+SAT kernel w.r.t. the two link poses,
+        composed through the geometric-Jacobian relations like every
+        other group."""
+        from trajopt_tpu.collision.convex import convex_convex
+        _, _, Rla, pla = self._posed_convex(a, R, p, dtype)
+        _, _, Rlb, plb = self._posed_convex(b, R, p, dtype)
+        va = jnp.asarray(a["verts"], dtype)
+        na = jnp.asarray(a["normals"], dtype)
+        vb = jnp.asarray(b["verts"], dtype)
+        nb = jnp.asarray(b["normals"], dtype)
+        ra = jnp.asarray(a["radius"], dtype)
+        rb = jnp.asarray(b["radius"], dtype)
+        valid = jnp.asarray(np.concatenate([a["nvalid"], b["nvalid"]],
+                                           axis=1))
+
+        def one(r1, t1, r2, t2, va_, na_, ra_, vb_, nb_, rb_, val_):
+            def f(r1_, t1_, r2_, t2_):
+                vaw = va_ @ r1_.T + t1_
+                naw = na_ @ r1_.T
+                vbw = vb_ @ r2_.T + t2_
+                nbw = nb_ @ r2_.T
+                return convex_convex(vaw, ra_, vbw, rb_,
+                                     jnp.concatenate([naw, nbw], 0), val_)
+            return jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+                r1, t1, r2, t2)
+
+        ds, (gRa, gpa, gRb, gpb) = jax.vmap(one)(
+            Rla, pla, Rlb, plb, va, na, ra, vb, nb, rb, valid)
+        Jg = (self._compose_pose_grads(gRa, gpa, Rla, pla, a, z, zxo,
+                                       is_rev, dtype)
+              + self._compose_pose_grads(gRb, gpb, Rlb, plb, b, z, zxo,
+                                         is_rev, dtype))
+        return ds, Jg
+
+    def _convex_swept_pair_grads(self, a, b, R0, p0, R1, p1,
+                                 c0, c1, dtype):
+        """Per-pair (distance, endpoint pose-composed Jacobians J0/J1) of
+        a moving-vs-static swept convex group: GJK over the union of the
+        moving side's endpoint vertex sets, value_and_grad w.r.t. both
+        endpoint link poses (c0/c1 compose into joint space)."""
+        from trajopt_tpu.collision.convex import convex_convex
+        _, _, Rla0, pla0 = self._posed_convex(a, R0, p0, dtype)
+        _, _, Rla1, pla1 = self._posed_convex(a, R1, p1, dtype)
+        vwb, nwb, _, _ = self._posed_convex(b, R0, p0, dtype)
+        va = jnp.asarray(a["verts"], dtype)
+        na = jnp.asarray(a["normals"], dtype)
+        ra = jnp.asarray(a["radius"], dtype)
+        rb = jnp.asarray(b["radius"], dtype)
+        valid = jnp.asarray(np.concatenate(
+            [a["nvalid"], a["nvalid"], b["nvalid"]], axis=1))
+
+        def one(r1, t1, r3, t3, va_, na_, ra_, vb_, nb_, rb_, val_):
+            def f(r1_, t1_, r3_, t3_):
+                v0 = va_ @ r1_.T + t1_
+                v1 = va_ @ r3_.T + t3_
+                axes = jnp.concatenate([na_ @ r1_.T, na_ @ r3_.T, nb_], 0)
+                return convex_convex(jnp.concatenate([v0, v1], 0), ra_,
+                                     vb_, rb_, axes, val_)
+            return jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+                r1, t1, r3, t3)
+
+        ds, (gR0, gp0, gR1, gp1) = jax.vmap(one)(
+            Rla0, pla0, Rla1, pla1, va, na, ra, vwb, nwb, rb, valid)
+        J0 = c0(gR0, gp0, Rla0, pla0, a)
+        J1 = c1(gR1, gp1, Rla1, pla1, a)
+        return ds, J0, J1
+
+    def _convex_moving_swept_grads(self, a, b, R0, p0, R1, p1,
+                                   c0, c1, dtype):
+        """Moving-vs-moving convex swept pairs: endpoint min of the
+        discrete GJK kernel (the same approximation the other
+        moving-vs-moving groups use; LVS bounds the error), with the
+        subgradient flowing to the argmin endpoint's link poses."""
+        from trajopt_tpu.collision.convex import convex_convex
+        _, _, Rla0, pla0 = self._posed_convex(a, R0, p0, dtype)
+        _, _, Rla1, pla1 = self._posed_convex(a, R1, p1, dtype)
+        _, _, Rlb0, plb0 = self._posed_convex(b, R0, p0, dtype)
+        _, _, Rlb1, plb1 = self._posed_convex(b, R1, p1, dtype)
+        va = jnp.asarray(a["verts"], dtype)
+        na = jnp.asarray(a["normals"], dtype)
+        vb = jnp.asarray(b["verts"], dtype)
+        nb = jnp.asarray(b["normals"], dtype)
+        ra = jnp.asarray(a["radius"], dtype)
+        rb = jnp.asarray(b["radius"], dtype)
+        valid = jnp.asarray(np.concatenate([a["nvalid"], b["nvalid"]],
+                                           axis=1))
+
+        def one(ra0, ta0, rb0, tb0, ra1, ta1, rb1, tb1,
+                va_, na_, ra_, vb_, nb_, rb_, val_):
+            def disc(r1, t1, r2, t2):
+                return convex_convex(
+                    va_ @ r1.T + t1, ra_, vb_ @ r2.T + t2, rb_,
+                    jnp.concatenate([na_ @ r1.T, nb_ @ r2.T], 0), val_)
+
+            def f(r1, t1, r2, t2, r3, t3, r4, t4):
+                return jnp.minimum(disc(r1, t1, r2, t2),
+                                   disc(r3, t3, r4, t4))
+            return jax.value_and_grad(f, argnums=tuple(range(8)))(
+                ra0, ta0, rb0, tb0, ra1, ta1, rb1, tb1)
+
+        ds, g = jax.vmap(one)(Rla0, pla0, Rlb0, plb0,
+                              Rla1, pla1, Rlb1, plb1,
+                              va, na, ra, vb, nb, rb, valid)
+        J0 = c0(g[0], g[1], Rla0, pla0, a) + c0(g[2], g[3], Rlb0, plb0, b)
+        J1 = c1(g[4], g[5], Rla1, pla1, a) + c1(g[6], g[7], Rlb1, plb1, b)
+        return ds, J0, J1
 
     def _sdf_distance(self, ga: CollGeom, gb: CollGeom, Ra, pa, dtype):
         from trajopt_tpu.collision import sdf_grid as sg
@@ -662,6 +902,14 @@ class CollisionScene:
         # moving-vs-moving: endpoint min of the discrete kernel; gradients
         # flow to both endpoints' link poses (subgradient at the argmin)
         for key, idxs, a, b in moving:
+            if key == (CONVEX, CONVEX):
+                ds, J0g, J1g = self._convex_moving_swept_grads(
+                    a, b, R0, p0, R1, p1, c0, c1, dtype)
+                ii = jnp.asarray(idxs)
+                out = out.at[ii].set(ds)
+                J0 = J0.at[ii].set(J0g)
+                J1 = J1.at[ii].set(J1g)
+                continue
             kern = _scalar_kernel(key)
             Rla0, pla0, locs_a = self._side_operands(a, R0, p0, dtype, params)
             Rlb0, plb0, locs_b = self._side_operands(b, R0, p0, dtype, params)
@@ -699,6 +947,14 @@ class CollisionScene:
         # moving-vs-static: closed-form swept kernels; only side a's link
         # poses carry gradient (b is configuration-static)
         for key, idxs, a, b in static:
+            if key == (CONVEX, CONVEX):
+                ds, J0g, J1g = self._convex_swept_pair_grads(
+                    a, b, R0, p0, R1, p1, c0, c1, dtype)
+                ii = jnp.asarray(idxs)
+                out = out.at[ii].set(ds)
+                J0 = J0.at[ii].set(J0g)
+                J1 = J1.at[ii].set(J1g)
+                continue
             kern = _swept_scalar_kernel(key)
             Rla0, pla0, locs_a = self._side_operands(a, R0, p0, dtype, params)
             Rla1, pla1, _ = self._side_operands(a, R1, p1, dtype, params)
@@ -776,7 +1032,7 @@ class CollisionScene:
         """
         if getattr(self, "_swept_groups_cache", None) is not None:
             return self._swept_groups_cache
-        rank = {SPHERE: 0, CAPSULE: 1, BOX: 2, SDF: 3}
+        rank = {SPHERE: 0, CAPSULE: 1, BOX: 2, CONVEX: 3, SDF: 4}
         moving: dict = {}
         static: dict = {}
         sdf_pairs = []
@@ -788,25 +1044,54 @@ class CollisionScene:
                 if rank[ga.kind] > rank[gb.kind]:
                     ga, gb = gb, ga
                 key = (ga.kind, gb.kind)
-                if key == (BOX, BOX) and not self._boxbox_aligned(ga, gb):
+                if CONVEX in key or self.unify_narrowphase:
+                    key = (CONVEX, CONVEX)
+                elif key == (BOX, BOX) and not self._boxbox_aligned(ga, gb):
                     key = (BOX, "obb")
                 moving.setdefault(key, []).append((idx, ga, gb))
             else:
                 # gb is world geometry or rides a fixed link: its pose is
-                # configuration-static, so the true swept kernels apply
-                static.setdefault((ga.kind, gb.kind), []).append((idx, ga, gb))
+                # configuration-static, so the true swept kernels apply.
+                # Convex pairs sweep EXACTLY: the swept hull of a linearly
+                # translating polytope is the hull of its endpoint vertex
+                # sets (LVS bounds the rotation error, as in the
+                # reference's cast evaluator).
+                key = ((CONVEX, CONVEX)
+                       if CONVEX in (ga.kind, gb.kind)
+                       or self.unify_narrowphase
+                       else (ga.kind, gb.kind))
+                static.setdefault(key, []).append((idx, ga, gb))
 
         def pack(groups):
             out = []
             for key, items in groups.items():
+                mk = (self._convex_arrays if key == (CONVEX, CONVEX)
+                      else self._geom_arrays)
                 idxs = np.array([i for i, _, _ in items])
-                a = self._geom_arrays([ga for _, ga, _ in items])
-                b = self._geom_arrays([gb for _, _, gb in items])
+                a = mk([ga for _, ga, _ in items])
+                b = mk([gb for _, _, gb in items])
                 out.append((key, idxs, a, b))
             return out
 
         self._swept_groups_cache = (pack(moving), pack(static), sdf_pairs)
         return self._swept_groups_cache
+
+    def _convex_swept_group_distance(self, a, b, R0, p0, R1, p1, dtype):
+        """Swept convex group: the swept volume of a linearly moving
+        polytope is the hull of its endpoint vertex sets, so the swept
+        check is one GJK over the union (exact for translation; LVS
+        sub-stepping bounds the rotation error)."""
+        from trajopt_tpu.collision.convex import convex_convex
+        vwa0, nwa0, _, _ = self._posed_convex(a, R0, p0, dtype)
+        vwa1, nwa1, _, _ = self._posed_convex(a, R1, p1, dtype)
+        vwb, nwb, _, _ = self._posed_convex(b, R0, p0, dtype)
+        vu = jnp.concatenate([vwa0, vwa1], axis=1)
+        axes = jnp.concatenate([nwa0, nwa1, nwb], axis=1)
+        valid = jnp.asarray(np.concatenate(
+            [a["nvalid"], a["nvalid"], b["nvalid"]], axis=1))
+        return jax.vmap(convex_convex)(
+            vu, jnp.asarray(a["radius"], dtype), vwb,
+            jnp.asarray(b["radius"], dtype), axes, valid)
 
     def _swept_group_distance(self, key, a, b, pose_a0, pose_a1, pose_b,
                               dtype):
@@ -879,6 +1164,12 @@ class CollisionScene:
         moving, static, sdf_pairs = self._swept_groups()
         # moving-vs-moving: endpoint min of the discrete grouped kernels
         for key, idxs, a, b in moving:
+            if key == (CONVEX, CONVEX):
+                d = jnp.minimum(
+                    self._convex_group_distance(a, b, R0, p0, dtype),
+                    self._convex_group_distance(a, b, R1, p1, dtype))
+                out = out.at[jnp.asarray(idxs)].set(d)
+                continue
             d0 = self._group_distance(
                 key, a, b, *self._posed(a, R0, p0, dtype, params),
                 *self._posed(b, R0, p0, dtype, params), dtype)
@@ -888,6 +1179,11 @@ class CollisionScene:
             out = out.at[jnp.asarray(idxs)].set(jnp.minimum(d0, d1))
         # moving-vs-static: closed-form swept kernels
         for key, idxs, a, b in static:
+            if key == (CONVEX, CONVEX):
+                d = self._convex_swept_group_distance(a, b, R0, p0,
+                                                      R1, p1, dtype)
+                out = out.at[jnp.asarray(idxs)].set(d)
+                continue
             pose_a0 = self._posed(a, R0, p0, dtype, params)
             pose_a1 = self._posed(a, R1, p1, dtype, params)
             pose_b = self._posed(b, R0, p0, dtype, params)
@@ -927,19 +1223,33 @@ def resolve_resource(filename: str, package_map: dict | None) -> str:
 
 def scene_from_urdf(tree: KinematicTree, model: urdf_mod.UrdfModel,
                     srdf=None, *, package_map: dict | None = None,
+                    mesh_mode: str = "hull",
                     mesh_max_pieces: int = 8,
                     mesh_max_concavity: float = 0.03) -> CollisionScene:
     """Import URDF collision geometry: boxes/spheres exact, cylinders as
-    capsules (conservative end-caps), and ``<mesh>`` geometry via
-    convex decomposition into fitted primitives (collision/decompose.py —
-    the role VHACD + tesseract's mesh contact support play for the
-    reference; pr2.urdf's 36 collision STLs load through this path).
+    capsules (conservative end-caps), and ``<mesh>`` geometry per
+    ``mesh_mode``:
+
+    * ``"hull"`` (default): one CONVEX geom per mesh — the convex hull of
+      its vertices, matching tesseract's collision model (it converts
+      URDF meshes to convex shapes), with GJK+SAT narrowphase
+      (collision/convex.py).  Exact for the hulls; one geom per mesh
+      keeps candidate-pair counts at link scale (PR2: ~10x fewer pairs
+      than decomposition, and no primitive-fit inflation — the fitted
+      pieces over-approximated shoulder meshes by up to 8.5 cm, enough
+      to close the arm_around_table fixture's feasible corridor).
+    * ``"decompose"``: convex decomposition into fitted sphere/capsule/
+      box primitives (collision/decompose.py — the VHACD role) for
+      callers that need primitive-only scenes.
 
     ``package_map`` maps ROS package names to directories for
     ``package://`` mesh resources (tesseract ResourceLocator role).
     Passing an :class:`~trajopt_tpu.kinematics.srdf.SrdfModel` seeds the
     link-level allowed-collision matrix from its ``<disable_collisions>``
     entries (tesseract seeds its contact managers the same way)."""
+    if mesh_mode not in ("hull", "decompose"):
+        raise ValueError(f"mesh_mode must be 'hull' or 'decompose', "
+                         f"got {mesh_mode!r}")
     scene = CollisionScene(tree)
     if srdf is not None:
         scene.disabled_link_pairs |= srdf.disabled_link_pairs()
@@ -969,6 +1279,13 @@ def scene_from_urdf(tree: KinematicTree, model: urdf_mod.UrdfModel,
                 # scale + collision-origin transform into the link frame
                 verts = mesh.vertices * np.asarray(g.size, float)
                 verts = verts @ R.T + p
+                if mesh_mode == "hull":
+                    from trajopt_tpu.collision.convex import hull_of
+                    hv, normals = hull_of(verts)
+                    scene.add_geom(CollGeom(name, CONVEX, (0.0,),
+                                            link=link.name, verts=hv,
+                                            normals=normals))
+                    continue
                 pieces = dc.decompose(dc.Mesh(verts, mesh.faces),
                                       max_concavity=mesh_max_concavity,
                                       max_pieces=mesh_max_pieces)

@@ -295,6 +295,13 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
         # derive it from the INIT trajectory's worst gap displacement —
         # known at construction, and an upper bound in practice since the
         # smoothing costs only shrink per-gap motion during the solve.
+        # The count is capped at 16: our swept kernels cover each
+        # sub-segment's full translational sweep exactly (union-hull cast,
+        # world.py _convex_swept_group_distance; capsule edge sweeps), so
+        # unlike the reference's interpolated-state model the residual
+        # error is only the rotation chord ~ L*(dq/n)^2/8 — well under a
+        # millimetre at 16 sub-segments for arm-scale gaps — while the
+        # reference needs dq/n <= lvs to bound a FIRST-order error.
         lvs_len = float(params.get("longest_valid_segment_length", 0.5))
         if init_traj is not None:
             tr = np.asarray(init_traj)[:, :n_dof]
@@ -303,7 +310,8 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
                 else 0.0
         else:
             max_disp = 0.5
-        lvs_substeps = max(2, int(np.ceil(max_disp / max(lvs_len, 1e-4))))
+        lvs_substeps = max(2, min(16, int(np.ceil(max_disp
+                                                  / max(lvs_len, 1e-4)))))
         mnc = params.get("max_num_cnt")
         if mnc is None and env.scene.n_pairs > 64:
             # Static all-pairs rows make the QP quadratically large on
