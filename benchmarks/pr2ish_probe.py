@@ -34,7 +34,13 @@ def main():
     batches = [int(b) for b in sys.argv[1:]] or [64, 96, 128]
     n_steps = 30
     structured = os.environ.get("BENCH_STRUCTURED", "0") == "1"
-    prob, _ = pr2ish_table_problem(n_steps=n_steps)
+    prob, scene = pr2ish_table_problem(n_steps=n_steps)
+    if os.environ.get("BENCH_UNIFY", "0") == "1":
+        # single-group GJK+SAT narrowphase (collision/world.py
+        # unify_narrowphase) — compile-time lever
+        scene.unify_narrowphase = True
+        scene._groups_cache = None
+        scene._swept_groups_cache = None
     solve = prob.make_solve(_solver_params(), structured=structured)
     fn = jax.jit(jax.vmap(lambda i, g: solve(i, {"goal": g})))
 

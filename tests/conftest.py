@@ -10,6 +10,24 @@ dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip.
 
 import os
 
+# Raise the stack soft-limit BEFORE jax spawns its compile thread pool:
+# XLA:CPU's LLVM ISel recurses deeply on the largest solver programs
+# (PR2-fixture cast convexify) and overflows the default 8 MB thread
+# stacks — observed as "LLVM compilation error: Cannot allocate memory"
+# bursts followed by SIGSEGV inside backend_compile_and_load.  Thread
+# stacks inherit the soft limit at creation time.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        resource.setrlimit(resource.RLIMIT_STACK,
+                           (_want if _hard == resource.RLIM_INFINITY
+                            else min(_want, _hard), _hard))
+except Exception:
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()

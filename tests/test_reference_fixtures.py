@@ -15,6 +15,7 @@ no reference dependency).
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -92,17 +93,24 @@ def test_box_cast_test_json_verbatim():
 
 def test_arm_around_table_json_verbatim():
     """arm_around_table.json on the verbatim PR2 fixture
-    (planning_unit.cpp): 7-DOF right arm, 6 steps, cast collision cost,
-    joint goal constraint.  The init sweeps the arm through the table."""
+    (planning_unit.cpp:108-141): 7-DOF right arm, 6 steps, cast collision
+    cost, joint goal constraint.  The init sweeps the arm through the
+    table; the reference requires OPT_CONVERGED and a collision-free
+    final trajectory under an LVS-0.05 continuous check
+    (LONGEST_VALID_SEGMENT_LENGTH, planning_unit.cpp:37, margin 0)."""
     env, model, scene = _env_from_reference("arm_around_table.urdf",
                                             "pr2.srdf", "right_arm")
     assert env.tree.n_dof == 7
     doc = _load_doc("arm_around_table.json")
     jp = construct_problem(doc, env)
     assert jp.prob.n_steps == 6
+
+    # The SOLVE compiles first: XLA:CPU on parts of the fleet crashes
+    # when one process accumulates many compilations before a very large
+    # one (CLAUDE.md known host bug), so the big program goes first and
+    # the verification below is ONE jitted batched query.
     res = jp.solve()
-    assert int(res.status) in (SQPStatus.CONVERGED,
-                               SQPStatus.SCO_ITERATION_LIMIT)
+    assert int(res.status) == SQPStatus.CONVERGED
     traj = np.asarray(res.x).reshape(6, 7)
     # fixed first step + goal constraint (pd.cpp fixed_timesteps)
     np.testing.assert_allclose(
@@ -111,12 +119,38 @@ def test_arm_around_table_json_verbatim():
     np.testing.assert_allclose(
         traj[5], [0.062, 1.287, 0.1, -1.554, -3.011, -0.268, 2.988],
         atol=5e-3)
-    # swept clearance across every gap (the reference's post-solve
-    # checkTrajectory continuous check)
-    for g in range(5):
-        d = scene.swept_distances(jnp.asarray(traj[g]),
-                                  jnp.asarray(traj[g + 1]))
-        assert float(jnp.min(d)) > -5e-3
+
+    init = np.asarray(doc["init_info"]["data"], float)
+    gap_mins = _lvs_swept_gap_mins(scene,
+                                   np.stack([init, traj]).astype(np.float64))
+    # the reference first asserts the INIT trajectory IS in collision...
+    assert float(gap_mins[0].min()) < 0.0
+    # ...and the solved one collision-free under its continuous check
+    # (LVS 0.05, margin 0) on every gap
+    assert float(gap_mins[1].min()) >= -1e-6, gap_mins[1]
+
+
+def _lvs_swept_gap_mins(scene, trajs, check_len=0.05):
+    """[B, n_gaps] min swept clearance per gap for a batch of
+    trajectories, LVS-subdivided at the reference checkTrajectory's
+    longest_valid_segment_length (0.05) — ONE jitted batched query."""
+    trajs = np.asarray(trajs)
+    max_disp = float(np.max(np.linalg.norm(np.diff(trajs, axis=1), axis=2)))
+    n_sub = max(1, int(np.ceil(max_disp / check_len)))
+    fr = np.linspace(0.0, 1.0, n_sub + 1)
+    fa = jnp.asarray(fr[:-1])
+    fb = jnp.asarray(fr[1:])
+
+    def gap_min(a, b):
+        dq = b - a
+        d = jax.vmap(lambda x, y: scene.swept_distances(
+            a + x * dq, a + y * dq))(fa.astype(a.dtype), fb.astype(a.dtype))
+        return jnp.min(d)
+
+    def lane(tr):
+        return jax.vmap(gap_min)(tr[:-1], tr[1:])
+
+    return np.asarray(jax.jit(jax.vmap(lane))(jnp.asarray(trajs)))
 
 
 def test_repo_arm_table_config_loads():

@@ -295,13 +295,17 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
         # derive it from the INIT trajectory's worst gap displacement —
         # known at construction, and an upper bound in practice since the
         # smoothing costs only shrink per-gap motion during the solve.
-        # The count is capped at 16: our swept kernels cover each
+        # The count is capped at 8: our swept kernels cover each
         # sub-segment's full translational sweep exactly (union-hull cast,
         # world.py _convex_swept_group_distance; capsule edge sweeps), so
         # unlike the reference's interpolated-state model the residual
-        # error is only the rotation chord ~ L*(dq/n)^2/8 — well under a
-        # millimetre at 16 sub-segments for arm-scale gaps — while the
-        # reference needs dq/n <= lvs to bound a FIRST-order error.
+        # error is only the rotation chord ~ L*(dq/n)^2/8 — about a
+        # millimetre at 8 sub-segments for 1-rad arm-scale gaps, far
+        # below reference margins — while the reference needs
+        # dq/n <= lvs to bound a FIRST-order interpolation error (hence
+        # its much finer 0.02-rad subdivision).  The conformance tests
+        # verify outcomes with the reference's own 0.05 LVS continuous
+        # check, independent of this internal count.
         lvs_len = float(params.get("longest_valid_segment_length", 0.5))
         if init_traj is not None:
             tr = np.asarray(init_traj)[:, :n_dof]
@@ -310,8 +314,8 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
                 else 0.0
         else:
             max_disp = 0.5
-        lvs_substeps = max(2, min(16, int(np.ceil(max_disp
-                                                  / max(lvs_len, 1e-4)))))
+        lvs_substeps = max(2, min(8, int(np.ceil(max_disp
+                                                 / max(lvs_len, 1e-4)))))
         mnc = params.get("max_num_cnt")
         if mnc is None and env.scene.n_pairs > 64:
             # Static all-pairs rows make the QP quadratically large on
