@@ -158,7 +158,11 @@ def main():
         r = _run_blocking(lambda a, b: sh_solve(a, {"goal": b}), i_s, g_s)
         t_sh = time.time() - t0
         sh_rate = int((np.asarray(r.status) == 1).sum()) / t_sh
-        scaling_eff = sh_rate / (solves_per_s * n_dev)
+        # like-for-like: compare converged-only rates on both sides (the
+        # headline solves_per_s is converged+verified, which would inflate
+        # the ratio whenever verification rejects lanes)
+        conv_rate_1dev = int(conv_mask.sum()) / best
+        scaling_eff = sh_rate / (conv_rate_1dev * n_dev)
         print(f"# scaling: {sh_rate:.1f} solves/s on {n_dev} devices, "
               f"efficiency {scaling_eff:.2f}", file=sys.stderr)
 

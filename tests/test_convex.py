@@ -11,7 +11,8 @@ import numpy as np
 import pytest
 
 from trajopt_tpu.collision import geometry as geom
-from trajopt_tpu.collision.convex import convex_convex, hull_of
+from trajopt_tpu.collision.convex import (convex_convex, edge_cross_axes,
+                                          hull_of)
 from trajopt_tpu.collision.world import CollisionScene
 from trajopt_tpu.models.robots import boxbot
 
@@ -26,16 +27,25 @@ def _box_verts(half, center=(0.0, 0.0, 0.0)):
 BOX_NORMALS = np.eye(3)
 
 
-def _kernel(Va, ra, Vb, rb, Na=None, Nb=None):
+def _kernel(Va, ra, Vb, rb, Na=None, Nb=None, Ea=None, Eb=None,
+            dtype=jnp.float64):
     Na = np.zeros((0, 3)) if Na is None else np.asarray(Na, float)
     Nb = np.zeros((0, 3)) if Nb is None else np.asarray(Nb, float)
-    axes = jnp.asarray(np.concatenate([Na, Nb]) if (len(Na) + len(Nb))
-                       else np.zeros((1, 3)))
-    valid = jnp.asarray(np.ones(axes.shape[0], bool)
-                        if (len(Na) + len(Nb)) else np.zeros(1, bool))
-    return float(convex_convex(jnp.asarray(Va, jnp.float64), ra,
-                               jnp.asarray(Vb, jnp.float64), rb,
-                               axes, valid))
+    axes = np.concatenate([Na, Nb]) if (len(Na) + len(Nb)) \
+        else np.zeros((1, 3))
+    valid = (np.ones(axes.shape[0], bool) if (len(Na) + len(Nb))
+             else np.zeros(1, bool))
+    if Ea is not None and Eb is not None and len(Ea) and len(Eb):
+        cx, cxv = edge_cross_axes(jnp.asarray(Ea, dtype),
+                                  jnp.ones(len(Ea), bool),
+                                  jnp.asarray(Eb, dtype),
+                                  jnp.ones(len(Eb), bool))
+        axes = np.concatenate([axes, np.asarray(cx)])
+        valid = np.concatenate([valid, np.asarray(cxv)])
+    return float(convex_convex(jnp.asarray(Va, dtype), ra,
+                               jnp.asarray(Vb, dtype), rb,
+                               jnp.asarray(axes, dtype),
+                               jnp.asarray(valid)))
 
 
 def test_sphere_sphere_via_vertex_form():
@@ -65,40 +75,84 @@ def test_box_box_separation_and_penetration():
         np.testing.assert_allclose(d, expect, atol=1e-7)
 
 
-def test_hull_distance_matches_support_qp():
-    """Random hulls: kernel distance equals the brute-force support QP to
-    ~1e-5 (GJK exactness on polytopes)."""
+def _hulls_overlap_lp(A, B):
+    """Exact overlap certificate: LP feasibility of conv(A) n conv(B)
+    (exists wa, wb on the simplices with A^T wa = B^T wb)."""
+    from scipy.optimize import linprog
+
+    nA, nB = len(A), len(B)
+    Aeq = np.zeros((5, nA + nB))
+    Aeq[0, :nA] = 1
+    Aeq[1, nA:] = 1
+    Aeq[2:, :nA] = A.T
+    Aeq[2:, nA:] = -B.T
+    beq = np.array([1.0, 1.0, 0.0, 0.0, 0.0])
+    res = linprog(np.zeros(nA + nB), A_eq=Aeq, b_eq=beq,
+                  bounds=[(0, None)] * (nA + nB), method="highs")
+    return res.status == 0
+
+
+def _sampled_depth(A, B, n=100000, seed=0):
+    """Penetration depth of overlapping hulls by dense direction
+    sampling + local refinement of max_u (support gap along u)."""
+    rng = np.random.default_rng(seed)
+    U = rng.normal(size=(n, 3))
+    U /= np.linalg.norm(U, axis=1, keepdims=True)
+    PA, PB = A @ U.T, B @ U.T
+    gap = np.maximum(PB.min(0) - PA.max(0), PA.min(0) - PB.max(0))
+    u = U[np.argmax(gap)]
+    best = float(np.max(gap))
+    for it in range(60):
+        cand = u + 0.03 * rng.normal(size=(400, 3))
+        cand /= np.linalg.norm(cand, axis=1, keepdims=True)
+        g = np.maximum((B @ cand.T).min(0) - (A @ cand.T).max(0),
+                       (A @ cand.T).min(0) - (B @ cand.T).max(0))
+        j = int(np.argmax(g))
+        if g[j] > best:
+            best, u = float(g[j]), cand[j]
+    return best  # negative = -depth
+
+
+def test_hull_distance_matches_ground_truth():
+    """Random hulls vs exact ground truth: an LP decides overlap; for
+    separated pairs the kernel must match the independent long-run FW
+    support-QP distance; for overlapping pairs it must report a
+    penetration whose depth matches refined direction sampling.  (The
+    round-3 red test compared the SIGNED kernel distance against the
+    UNSIGNED FW minimum distance, which is ~0 but never negative on
+    overlapping pairs — the seed-3 'false penetration' was in truth a
+    genuinely overlapping pair, LP-verified, with depth 0.7397 matching
+    the kernel.)"""
     rng = np.random.default_rng(3)
-    for _ in range(4):
-        A, Na = hull_of(rng.normal(size=(40, 3)))
-        B, Nb = hull_of(rng.normal(size=(40, 3)) + np.array([4.0, 0.5, 0]))
-        d = _kernel(A, 0.0, B, 0.0, Na, Nb)
-        # long-run Frank-Wolfe reference
-        wa = np.ones(len(A)) / len(A)
-        wb = np.ones(len(B)) / len(B)
-        for _k in range(20000):
-            z = wa @ A - wb @ B
-            ia = int(np.argmin(A @ z))
-            ib = int(np.argmax(B @ z))
-            s = A[ia] - B[ib]
-            zs = z - s
-            g = np.clip((z @ zs) / max(zs @ zs, 1e-30), 0, 1)
-            da = np.zeros(len(A))
-            da[ia] = 1
-            db = np.zeros(len(B))
-            db[ib] = 1
-            wa = (1 - g) * wa + g * da
-            wb = (1 - g) * wb + g * db
-        dref = np.linalg.norm(wa @ A - wb @ B)
-        assert d <= dref + 1e-9  # GJK at least as tight as FW
-        assert abs(d - dref) < 5e-4
+    n_sep = n_pen = 0
+    for trial in range(6):
+        A, Na, Ea = hull_of(rng.normal(size=(40, 3)))
+        B, Nb, Eb = hull_of(rng.normal(size=(40, 3))
+                            + np.array([4.0, 0.5, 0]))
+        d = _kernel(A, 0.0, B, 0.0, Na, Nb, Ea, Eb)
+        if _hulls_overlap_lp(A, B):
+            n_pen += 1
+            depth = _sampled_depth(A, B, seed=trial)
+            assert d <= 1e-9, f"trial {trial}: overlap but d={d}"
+            # SAT depth vs sampled ground truth (sampling is itself a
+            # lower bound of the gap, i.e. an over-estimate of depth)
+            assert abs(d - depth) < 5e-3, \
+                f"trial {trial}: depth {d} vs sampled {depth}"
+        else:
+            n_sep += 1
+            dref, _, _ = _fw_reference_distance(A, B)
+            assert d <= dref + 1e-9  # GJK at least as tight as FW
+            assert abs(d - dref) < 5e-4
+    assert n_sep >= 1 and n_pen >= 1  # both regimes exercised
 
 
 def test_envelope_gradient_matches_fd():
     rng = np.random.default_rng(1)
-    A, Na = hull_of(rng.normal(size=(30, 3)))
-    B0, Nb = hull_of(rng.normal(size=(30, 3)))
-    axes = jnp.asarray(np.concatenate([Na, Nb]))
+    A, Na, Ea = hull_of(rng.normal(size=(30, 3)))
+    B0, Nb, Eb = hull_of(rng.normal(size=(30, 3)))
+    cx, _ = edge_cross_axes(jnp.asarray(Ea), jnp.ones(len(Ea), bool),
+                            jnp.asarray(Eb), jnp.ones(len(Eb), bool))
+    axes = jnp.asarray(np.concatenate([Na, Nb, np.asarray(cx)]))
     valid = jnp.ones(axes.shape[0], bool)
 
     def f(t):
@@ -165,7 +219,7 @@ def test_unified_narrowphase_matches_grouped_near_contact():
         assert np.abs(d1 - d2)[m].max() < 5e-4
         # deep penetration may differ (SAT vs analytic MTV) but the SIGN
         # must agree
-        assert np.all((d1 < 0) == (d2 < 0) | m)
+        assert np.all(((d1 < 0) == (d2 < 0)) | m)
 
 
 def test_mesh_hull_import_distance_sanity():
@@ -175,9 +229,134 @@ def test_mesh_hull_import_distance_sanity():
     from trajopt_tpu.collision import decompose as dc
 
     m = dc.box_mesh([0.2, 0.3, 0.4])
-    hv, normals = hull_of(m.vertices)
+    hv, normals, edges = hull_of(m.vertices)
     assert hv.shape[0] == 8
     assert 3 <= normals.shape[0] <= 6
+    # 3 axis dirs + up to 6 triangulation face diagonals
+    assert 3 <= edges.shape[0] <= 9
     d = _kernel(hv, 0.0, _box_verts([0.1] * 3, [2.0, 0, 0]), 0.0,
                 normals, BOX_NORMALS)
     np.testing.assert_allclose(d, 2.0 - 0.2 - 0.1, atol=1e-6)
+
+
+def _fw_reference_distance(A, B, iters=20000):
+    """Independent long-run Frank-Wolfe solve of the support QP
+    min |x - y|, x in conv(A), y in conv(B) (no shared code with the
+    kernel's GJK)."""
+    wa = np.ones(len(A)) / len(A)
+    wb = np.ones(len(B)) / len(B)
+    for _ in range(iters):
+        z = wa @ A - wb @ B
+        ia = int(np.argmin(A @ z))
+        ib = int(np.argmax(B @ z))
+        s = A[ia] - B[ib]
+        zs = z - s
+        g = np.clip((z @ zs) / max(zs @ zs, 1e-30), 0, 1)
+        da = np.zeros(len(A))
+        da[ia] = 1
+        db = np.zeros(len(B))
+        db[ib] = 1
+        wa = (1 - g) * wa + g * da
+        wb = (1 - g) * wb + g * db
+    return float(np.linalg.norm(wa @ A - wb @ B)), wa, wb
+
+
+def test_grazing_battery_no_false_penetration():
+    """Round-3 VERDICT regression: random near-touching hull pairs with
+    true distance in [2e-4, 1e-3] by construction (start from an
+    LP-verified separated pair, then translate B along the converged
+    witness direction, which changes the true distance by exactly the
+    translation; re-verify separation by LP) must report
+    |error| < 1e-3.  The old SAT-certificate branch could report large
+    false penetrations for separated pairs whose witness plane is
+    neither a face normal nor an edge cross."""
+    rng = np.random.default_rng(11)
+    n_checked = 0
+    for trial in range(10):
+        A, Na, Ea = hull_of(rng.normal(size=(40, 3)))
+        B, Nb, Eb = hull_of(rng.normal(size=(40, 3))
+                            + np.array([5.0, 0.5, 0.0]))
+        if _hulls_overlap_lp(A, B):
+            continue
+        d0, wa, wb = _fw_reference_distance(A, B, iters=40000)
+        if d0 < 0.05:  # want a well-converged witness direction
+            continue
+        gap = rng.uniform(2e-4, 1e-3)
+        u = (wa @ A - wb @ B) / d0
+        B = B + (d0 - gap) * u
+        if _hulls_overlap_lp(A, B):  # construction failed; skip
+            continue
+        d = _kernel(A, 0.0, B, 0.0, Na, Nb, Ea, Eb)
+        n_checked += 1
+        assert abs(d - gap) < 1e-3, \
+            f"trial {trial}: kernel {d} vs constructed gap {gap}"
+        assert d > 0.0, f"trial {trial}: false penetration {d}"
+    assert n_checked >= 5
+
+
+def test_grazing_battery_f32():
+    """The same near-touching construction through the f32 TPU path:
+    errors bounded by ~the f32 certificate window, never a large false
+    penetration."""
+    rng = np.random.default_rng(12)
+    n_checked = 0
+    for trial in range(8):
+        A, Na, Ea = hull_of(rng.normal(size=(40, 3)))
+        B, Nb, Eb = hull_of(rng.normal(size=(40, 3))
+                            + np.array([5.0, 0.5, 0.0]))
+        if _hulls_overlap_lp(A, B):
+            continue
+        d0, wa, wb = _fw_reference_distance(A, B, iters=40000)
+        if d0 < 0.05:
+            continue
+        gap = rng.uniform(2e-4, 1e-3)
+        u = (wa @ A - wb @ B) / d0
+        B = B + (d0 - gap) * u
+        if _hulls_overlap_lp(A, B):
+            continue
+        d = _kernel(A, 0.0, B, 0.0, Na, Nb, Ea, Eb, dtype=jnp.float32)
+        n_checked += 1
+        assert abs(d - gap) < 2e-3, \
+            f"trial {trial}: kernel {d} vs constructed gap {gap}"
+    assert n_checked >= 4
+
+
+def test_gjk_certificate_residual_at_penetration():
+    """The separation certificate threshold (1e-4 * scale f32 / 1e-11 *
+    scale f64, convex.py convex_convex) must upper-bound the
+    best-iterate GJK residual on truly penetrating pairs, in BOTH dtypes
+    (the f32 TPU path and the f64 CPU path)."""
+    from trajopt_tpu.collision.convex import _gjk_weights
+
+    rng = np.random.default_rng(7)
+    for dtype, eps in ((jnp.float32, 1e-4), (jnp.float64, 1e-11)):
+        for _ in range(10):
+            # overlapping clouds -> hull interiors intersect
+            A, _, _ = hull_of(rng.normal(size=(30, 3)))
+            B, _, _ = hull_of(rng.normal(size=(30, 3))
+                              + rng.uniform(-0.3, 0.3, size=3))
+            Aj = jnp.asarray(A, dtype)
+            Bj = jnp.asarray(B, dtype)
+            wa, wb = _gjk_weights(Aj, Bj)
+            resid = float(jnp.linalg.norm(wa @ Aj - wb @ Bj))
+            scale = 1.0 + float(jnp.max(jnp.abs(Aj))) \
+                + float(jnp.max(jnp.abs(Bj)))
+            assert resid <= eps * scale
+
+
+def test_seed3_pair_true_overlap_regression():
+    """The exact seed-3 pair the round-3 VERDICT flagged: it GENUINELY
+    overlaps (LP certificate) with penetration depth ~0.7397 (200k-dir
+    sampling + refinement); the kernel must report that depth, and GJK
+    must certify contact (best-iterate distance ~0)."""
+    from trajopt_tpu.collision.convex import _gjk_weights
+
+    rng = np.random.default_rng(3)
+    A, Na, Ea = hull_of(rng.normal(size=(40, 3)))
+    B, Nb, Eb = hull_of(rng.normal(size=(40, 3)) + np.array([4.0, 0.5, 0]))
+    assert _hulls_overlap_lp(A, B)
+    wa, wb = _gjk_weights(jnp.asarray(A), jnp.asarray(B))
+    assert float(np.linalg.norm(np.asarray(wa) @ A
+                                - np.asarray(wb) @ B)) < 1e-11
+    d = _kernel(A, 0.0, B, 0.0, Na, Nb, Ea, Eb)
+    np.testing.assert_allclose(d, -0.7397, atol=2e-3)

@@ -59,11 +59,13 @@ class CollGeom:
     # time: enables per-problem randomized scenes under vmap
     p_param: Optional[str] = None
     # Convex polytope data (kind == "convex"), in the LINK frame (already
-    # composed with any collision-origin transform): hull vertices [V,3]
-    # and deduplicated outward face normals [F,3]; params = (radius,) for
-    # the sphere-swept form (0 for a plain hull).
+    # composed with any collision-origin transform): hull vertices [V,3],
+    # deduplicated outward face normals [F,3], and deduplicated unit edge
+    # directions [E,3] (SAT edge-cross axes — exact penetration depth);
+    # params = (radius,) for the sphere-swept form (0 for a plain hull).
     verts: Optional[np.ndarray] = None
     normals: Optional[np.ndarray] = None
+    edges: Optional[np.ndarray] = None
 
 
 def _pose_geom(Rl, pl, R_loc, p_loc, ea_loc, eb_loc):
@@ -142,27 +144,35 @@ def _swept_scalar_kernel(key):
 
 
 def _canon_vertex_form(g: CollGeom):
-    """(verts [V,3] link-frame, normals [F,3] link-frame, radius) of ANY
-    geom as a sphere-swept vertex set — the canonical form the convex
-    narrowphase consumes: hull = own vertices + r, sphere = 1 vertex + r,
-    capsule = 2 vertices + r, box = 8 corners + its 3 face normals."""
+    """(verts [V,3] link-frame, normals [F,3] link-frame, edge directions
+    [E,3] link-frame, radius) of ANY geom as a sphere-swept vertex set —
+    the canonical form the convex narrowphase consumes: hull = own
+    vertices/normals/edges + r, sphere = 1 vertex + r, capsule = 2
+    vertices + its axis edge + r, box = 8 corners + its 3 face normals
+    (which double as its 3 edge directions)."""
     R = np.asarray(g.R_local, float)
     p = np.asarray(g.p_local, float)
+    no_rows = np.zeros((0, 3))
     if g.kind == CONVEX:
         return np.asarray(g.verts, float), \
             (np.asarray(g.normals, float) if g.normals is not None
-             else np.zeros((0, 3))), float(g.params[0]) if g.params else 0.0
+             else no_rows), \
+            (np.asarray(g.edges, float) if g.edges is not None
+             else no_rows), float(g.params[0]) if g.params else 0.0
     if g.kind == SPHERE:
-        return p[None, :], np.zeros((0, 3)), float(g.params[0])
+        return p[None, :], no_rows, no_rows, float(g.params[0])
     if g.kind == CAPSULE:
         ea = R @ np.asarray(g.ea, float) + p
         eb = R @ np.asarray(g.eb, float) + p
-        return np.stack([ea, eb]), np.zeros((0, 3)), float(g.params[0])
+        ax = eb - ea
+        n = np.linalg.norm(ax)
+        edges = (ax / n)[None, :] if n > 1e-12 else no_rows
+        return np.stack([ea, eb]), no_rows, edges, float(g.params[0])
     if g.kind == BOX:
         h = np.asarray(g.params, float)
         corners = np.array([[sx, sy, sz] for sx in (-1, 1)
                             for sy in (-1, 1) for sz in (-1, 1)], float) * h
-        return corners @ R.T + p, R.T.copy(), 0.0
+        return corners @ R.T + p, R.T.copy(), R.T.copy(), 0.0
     raise ValueError(f"no vertex form for kind {g.kind}")
 
 
@@ -332,16 +342,18 @@ class CollisionScene:
         frame (the tesseract convex-mesh model; narrowphase via
         collision/convex.py GJK+SAT)."""
         from trajopt_tpu.collision.convex import hull_of
-        hv, normals = hull_of(np.asarray(vertices, float))
+        hv, normals, edges = hull_of(np.asarray(vertices, float))
         return self.add_geom(CollGeom(name or f"{link}_convex", CONVEX,
                                       (float(radius),), link=link,
-                                      verts=hv, normals=normals))
+                                      verts=hv, normals=normals,
+                                      edges=edges))
 
     def add_world_convex(self, name, vertices, radius=0.0):
         from trajopt_tpu.collision.convex import hull_of
-        hv, normals = hull_of(np.asarray(vertices, float))
+        hv, normals, edges = hull_of(np.asarray(vertices, float))
         return self.add_geom(CollGeom(name, CONVEX, (float(radius),),
-                                      link=None, verts=hv, normals=normals))
+                                      link=None, verts=hv, normals=normals,
+                                      edges=edges))
 
     # -------------------------------------------------------------- pairs
 
@@ -500,11 +512,15 @@ class CollisionScene:
         forms = [_canon_vertex_form(g) for g in geoms]
         Vmax = max(f[0].shape[0] for f in forms)
         Fmax = max(max((f[1].shape[0] for f in forms), default=0), 1)
+        Emax = max(max((f[2].shape[0] for f in forms), default=0), 1)
         verts = np.stack([np.pad(f[0], ((0, Vmax - f[0].shape[0]), (0, 0)),
                                  mode="edge") for f in forms])
         normals = np.stack([np.pad(f[1], ((0, Fmax - f[1].shape[0]), (0, 0)))
                             for f in forms])
         nvalid = np.stack([np.arange(Fmax) < f[1].shape[0] for f in forms])
+        edges = np.stack([np.pad(f[2], ((0, Emax - f[2].shape[0]), (0, 0)))
+                          for f in forms])
+        evalid = np.stack([np.arange(Emax) < f[2].shape[0] for f in forms])
         for g in geoms:
             if g.p_param is not None:
                 raise ValueError(
@@ -517,12 +533,15 @@ class CollisionScene:
             "verts": verts,
             "normals": normals,
             "nvalid": nvalid,
-            "radius": np.array([f[2] for f in forms]),
+            "edges": edges,
+            "evalid": evalid,
+            "radius": np.array([f[3] for f in forms]),
         }
 
     def _posed_convex(self, arrs, R_links, p_links, dtype):
-        """(world verts [P,V,3], world normals [P,F,3], Rl, pl) for a
-        convex group; static members use identity link poses."""
+        """(world verts [P,V,3], world normals [P,F,3], world edge dirs
+        [P,E,3], Rl, pl) for a convex group; static members use identity
+        link poses."""
         link = jnp.asarray(np.maximum(arrs["link"], 0))
         static = jnp.asarray(arrs["is_static"])
         Rl = jnp.where(static[:, None, None],
@@ -532,15 +551,22 @@ class CollisionScene:
                         jnp.asarray(arrs["verts"], dtype)) + pl[:, None, :]
         nw = jnp.einsum("pij,pfj->pfi", Rl,
                         jnp.asarray(arrs["normals"], dtype))
-        return vw, nw, Rl, pl
+        ew = jnp.einsum("pij,pej->pei", Rl,
+                        jnp.asarray(arrs["edges"], dtype))
+        return vw, nw, ew, Rl, pl
 
     def _convex_group_distance(self, a, b, R, p, dtype):
-        from trajopt_tpu.collision.convex import convex_convex
-        vwa, nwa, _, _ = self._posed_convex(a, R, p, dtype)
-        vwb, nwb, _, _ = self._posed_convex(b, R, p, dtype)
-        axes = jnp.concatenate([nwa, nwb], axis=1)
-        valid = jnp.asarray(np.concatenate([a["nvalid"], b["nvalid"]],
-                                           axis=1))
+        from trajopt_tpu.collision.convex import convex_convex, \
+            edge_cross_axes
+        vwa, nwa, ewa, _, _ = self._posed_convex(a, R, p, dtype)
+        vwb, nwb, ewb, _, _ = self._posed_convex(b, R, p, dtype)
+        eva = jnp.asarray(a["evalid"])
+        evb = jnp.asarray(b["evalid"])
+        cx, cxv = jax.vmap(edge_cross_axes)(ewa, eva, ewb, evb)
+        axes = jnp.concatenate([nwa, nwb, cx], axis=1)
+        valid = jnp.concatenate(
+            [jnp.asarray(np.concatenate([a["nvalid"], b["nvalid"]],
+                                        axis=1)), cxv], axis=1)
         return jax.vmap(convex_convex)(
             vwa, jnp.asarray(a["radius"], dtype), vwb,
             jnp.asarray(b["radius"], dtype), axes, valid)
@@ -740,31 +766,42 @@ class CollisionScene:
         value_and_grad of the GJK+SAT kernel w.r.t. the two link poses,
         composed through the geometric-Jacobian relations like every
         other group."""
-        from trajopt_tpu.collision.convex import convex_convex
-        _, _, Rla, pla = self._posed_convex(a, R, p, dtype)
-        _, _, Rlb, plb = self._posed_convex(b, R, p, dtype)
+        from trajopt_tpu.collision.convex import convex_convex, \
+            edge_cross_axes
+        _, _, _, Rla, pla = self._posed_convex(a, R, p, dtype)
+        _, _, _, Rlb, plb = self._posed_convex(b, R, p, dtype)
         va = jnp.asarray(a["verts"], dtype)
         na = jnp.asarray(a["normals"], dtype)
+        ea = jnp.asarray(a["edges"], dtype)
         vb = jnp.asarray(b["verts"], dtype)
         nb = jnp.asarray(b["normals"], dtype)
+        eb = jnp.asarray(b["edges"], dtype)
         ra = jnp.asarray(a["radius"], dtype)
         rb = jnp.asarray(b["radius"], dtype)
         valid = jnp.asarray(np.concatenate([a["nvalid"], b["nvalid"]],
                                            axis=1))
+        eva = jnp.asarray(a["evalid"])
+        evb = jnp.asarray(b["evalid"])
 
-        def one(r1, t1, r2, t2, va_, na_, ra_, vb_, nb_, rb_, val_):
+        def one(r1, t1, r2, t2, va_, na_, ea_, ra_, vb_, nb_, eb_, rb_,
+                val_, eva_, evb_):
             def f(r1_, t1_, r2_, t2_):
                 vaw = va_ @ r1_.T + t1_
                 naw = na_ @ r1_.T
                 vbw = vb_ @ r2_.T + t2_
                 nbw = nb_ @ r2_.T
-                return convex_convex(vaw, ra_, vbw, rb_,
-                                     jnp.concatenate([naw, nbw], 0), val_)
+                cx, cxv = edge_cross_axes(ea_ @ r1_.T, eva_,
+                                          eb_ @ r2_.T, evb_)
+                return convex_convex(
+                    vaw, ra_, vbw, rb_,
+                    jnp.concatenate([naw, nbw, cx], 0),
+                    jnp.concatenate([val_, cxv], 0))
             return jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
                 r1, t1, r2, t2)
 
         ds, (gRa, gpa, gRb, gpb) = jax.vmap(one)(
-            Rla, pla, Rlb, plb, va, na, ra, vb, nb, rb, valid)
+            Rla, pla, Rlb, plb, va, na, ea, ra, vb, nb, eb, rb,
+            valid, eva, evb)
         Jg = (self._compose_pose_grads(gRa, gpa, Rla, pla, a, z, zxo,
                                        is_rev, dtype)
               + self._compose_pose_grads(gRb, gpb, Rlb, plb, b, z, zxo,
@@ -777,29 +814,50 @@ class CollisionScene:
         a moving-vs-static swept convex group: GJK over the union of the
         moving side's endpoint vertex sets, value_and_grad w.r.t. both
         endpoint link poses (c0/c1 compose into joint space)."""
-        from trajopt_tpu.collision.convex import convex_convex
-        _, _, Rla0, pla0 = self._posed_convex(a, R0, p0, dtype)
-        _, _, Rla1, pla1 = self._posed_convex(a, R1, p1, dtype)
-        vwb, nwb, _, _ = self._posed_convex(b, R0, p0, dtype)
+        from trajopt_tpu.collision.convex import convex_convex, \
+            edge_cross_axes
+        _, _, _, Rla0, pla0 = self._posed_convex(a, R0, p0, dtype)
+        _, _, _, Rla1, pla1 = self._posed_convex(a, R1, p1, dtype)
+        vwb, nwb, ewb, _, _ = self._posed_convex(b, R0, p0, dtype)
         va = jnp.asarray(a["verts"], dtype)
         na = jnp.asarray(a["normals"], dtype)
+        ea = jnp.asarray(a["edges"], dtype)
         ra = jnp.asarray(a["radius"], dtype)
         rb = jnp.asarray(b["radius"], dtype)
         valid = jnp.asarray(np.concatenate(
             [a["nvalid"], a["nvalid"], b["nvalid"]], axis=1))
+        eva = jnp.asarray(a["evalid"])
+        evb = jnp.asarray(b["evalid"])
 
-        def one(r1, t1, r3, t3, va_, na_, ra_, vb_, nb_, rb_, val_):
+        def one(r1, t1, r3, t3, va_, na_, ea_, ra_, vb_, nb_, eb_, rb_,
+                val_, eva_, evb_):
             def f(r1_, t1_, r3_, t3_):
                 v0 = va_ @ r1_.T + t1_
                 v1 = va_ @ r3_.T + t3_
-                axes = jnp.concatenate([na_ @ r1_.T, na_ @ r3_.T, nb_], 0)
+                # Swept-prism candidate axes (complete for translation
+                # sweeps): endpoint face normals of the moving hull,
+                # static faces, the prism's side-face normals
+                # cross(edge_A, displacement), and edge crosses of the
+                # union edge set (edges at both poses + the displacement
+                # direction) against the static edges.
+                disp = t3_ - t1_
+                eu = jnp.concatenate(
+                    [ea_ @ r1_.T, ea_ @ r3_.T, disp[None]], 0)
+                euv = jnp.concatenate(
+                    [eva_, eva_, jnp.ones((1,), bool)], 0)
+                side = jnp.cross(eu, disp[None])
+                cx, cxv = edge_cross_axes(eu, euv, eb_, evb_)
+                axes = jnp.concatenate(
+                    [na_ @ r1_.T, na_ @ r3_.T, nb_, side, cx], 0)
+                av = jnp.concatenate([val_, euv, cxv], 0)
                 return convex_convex(jnp.concatenate([v0, v1], 0), ra_,
-                                     vb_, rb_, axes, val_)
+                                     vb_, rb_, axes, av)
             return jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
                 r1, t1, r3, t3)
 
         ds, (gR0, gp0, gR1, gp1) = jax.vmap(one)(
-            Rla0, pla0, Rla1, pla1, va, na, ra, vwb, nwb, rb, valid)
+            Rla0, pla0, Rla1, pla1, va, na, ea, ra, vwb, nwb, ewb, rb,
+            valid, eva, evb)
         J0 = c0(gR0, gp0, Rla0, pla0, a)
         J1 = c1(gR1, gp1, Rla1, pla1, a)
         return ds, J0, J1
@@ -810,26 +868,34 @@ class CollisionScene:
         discrete GJK kernel (the same approximation the other
         moving-vs-moving groups use; LVS bounds the error), with the
         subgradient flowing to the argmin endpoint's link poses."""
-        from trajopt_tpu.collision.convex import convex_convex
-        _, _, Rla0, pla0 = self._posed_convex(a, R0, p0, dtype)
-        _, _, Rla1, pla1 = self._posed_convex(a, R1, p1, dtype)
-        _, _, Rlb0, plb0 = self._posed_convex(b, R0, p0, dtype)
-        _, _, Rlb1, plb1 = self._posed_convex(b, R1, p1, dtype)
+        from trajopt_tpu.collision.convex import convex_convex, \
+            edge_cross_axes
+        _, _, _, Rla0, pla0 = self._posed_convex(a, R0, p0, dtype)
+        _, _, _, Rla1, pla1 = self._posed_convex(a, R1, p1, dtype)
+        _, _, _, Rlb0, plb0 = self._posed_convex(b, R0, p0, dtype)
+        _, _, _, Rlb1, plb1 = self._posed_convex(b, R1, p1, dtype)
         va = jnp.asarray(a["verts"], dtype)
         na = jnp.asarray(a["normals"], dtype)
+        ea = jnp.asarray(a["edges"], dtype)
         vb = jnp.asarray(b["verts"], dtype)
         nb = jnp.asarray(b["normals"], dtype)
+        eb = jnp.asarray(b["edges"], dtype)
         ra = jnp.asarray(a["radius"], dtype)
         rb = jnp.asarray(b["radius"], dtype)
         valid = jnp.asarray(np.concatenate([a["nvalid"], b["nvalid"]],
                                            axis=1))
+        eva = jnp.asarray(a["evalid"])
+        evb = jnp.asarray(b["evalid"])
 
         def one(ra0, ta0, rb0, tb0, ra1, ta1, rb1, tb1,
-                va_, na_, ra_, vb_, nb_, rb_, val_):
+                va_, na_, ea_, ra_, vb_, nb_, eb_, rb_, val_, eva_, evb_):
             def disc(r1, t1, r2, t2):
+                cx, cxv = edge_cross_axes(ea_ @ r1.T, eva_,
+                                          eb_ @ r2.T, evb_)
                 return convex_convex(
                     va_ @ r1.T + t1, ra_, vb_ @ r2.T + t2, rb_,
-                    jnp.concatenate([na_ @ r1.T, nb_ @ r2.T], 0), val_)
+                    jnp.concatenate([na_ @ r1.T, nb_ @ r2.T, cx], 0),
+                    jnp.concatenate([val_, cxv], 0))
 
             def f(r1, t1, r2, t2, r3, t3, r4, t4):
                 return jnp.minimum(disc(r1, t1, r2, t2),
@@ -839,7 +905,8 @@ class CollisionScene:
 
         ds, g = jax.vmap(one)(Rla0, pla0, Rlb0, plb0,
                               Rla1, pla1, Rlb1, plb1,
-                              va, na, ra, vb, nb, rb, valid)
+                              va, na, ea, ra, vb, nb, eb, rb,
+                              valid, eva, evb)
         J0 = c0(g[0], g[1], Rla0, pla0, a) + c0(g[2], g[3], Rlb0, plb0, b)
         J1 = c1(g[4], g[5], Rla1, pla1, a) + c1(g[6], g[7], Rlb1, plb1, b)
         return ds, J0, J1
@@ -1081,14 +1148,28 @@ class CollisionScene:
         polytope is the hull of its endpoint vertex sets, so the swept
         check is one GJK over the union (exact for translation; LVS
         sub-stepping bounds the rotation error)."""
-        from trajopt_tpu.collision.convex import convex_convex
-        vwa0, nwa0, _, _ = self._posed_convex(a, R0, p0, dtype)
-        vwa1, nwa1, _, _ = self._posed_convex(a, R1, p1, dtype)
-        vwb, nwb, _, _ = self._posed_convex(b, R0, p0, dtype)
+        from trajopt_tpu.collision.convex import convex_convex, \
+            edge_cross_axes
+        vwa0, nwa0, ewa0, _, pla0 = self._posed_convex(a, R0, p0, dtype)
+        vwa1, nwa1, ewa1, _, pla1 = self._posed_convex(a, R1, p1, dtype)
+        vwb, nwb, ewb, _, _ = self._posed_convex(b, R0, p0, dtype)
         vu = jnp.concatenate([vwa0, vwa1], axis=1)
-        axes = jnp.concatenate([nwa0, nwa1, nwb], axis=1)
-        valid = jnp.asarray(np.concatenate(
-            [a["nvalid"], a["nvalid"], b["nvalid"]], axis=1))
+        # swept-prism candidate axes: endpoint faces + static faces +
+        # side faces cross(edge_A, disp) + union-edge crosses (see
+        # _convex_swept_pair_grads)
+        disp = (pla1 - pla0)[:, None, :]
+        eu = jnp.concatenate([ewa0, ewa1, disp], axis=1)
+        euv = jnp.concatenate(
+            [jnp.asarray(a["evalid"]), jnp.asarray(a["evalid"]),
+             jnp.ones((disp.shape[0], 1), bool)], axis=1)
+        side = jnp.cross(eu, disp)
+        cx, cxv = jax.vmap(edge_cross_axes)(
+            eu, euv, ewb, jnp.asarray(b["evalid"]))
+        axes = jnp.concatenate([nwa0, nwa1, nwb, side, cx], axis=1)
+        valid = jnp.concatenate(
+            [jnp.asarray(np.concatenate(
+                [a["nvalid"], a["nvalid"], b["nvalid"]], axis=1)),
+             euv, cxv], axis=1)
         return jax.vmap(convex_convex)(
             vu, jnp.asarray(a["radius"], dtype), vwb,
             jnp.asarray(b["radius"], dtype), axes, valid)
@@ -1281,10 +1362,10 @@ def scene_from_urdf(tree: KinematicTree, model: urdf_mod.UrdfModel,
                 verts = verts @ R.T + p
                 if mesh_mode == "hull":
                     from trajopt_tpu.collision.convex import hull_of
-                    hv, normals = hull_of(verts)
+                    hv, normals, edges = hull_of(verts)
                     scene.add_geom(CollGeom(name, CONVEX, (0.0,),
                                             link=link.name, verts=hv,
-                                            normals=normals))
+                                            normals=normals, edges=edges))
                     continue
                 pieces = dc.decompose(dc.Mesh(verts, mesh.faces),
                                       max_concavity=mesh_max_concavity,

@@ -46,6 +46,9 @@ __all__ = [
     "NoBound", "Var", "Node", "NodesVariables", "VariableSet",
     "ConstraintSet", "CostTerm", "SquaredCost", "AbsoluteCost", "Problem",
     "DiscreteCollisionConstraint", "ContinuousCollisionConstraint",
+    "JointPosConstraint", "JointVelConstraint", "JointAccelConstraint",
+    "JointJerkConstraint", "CartPosConstraint", "CartLineConstraint",
+    "InverseKinematicsConstraint",
 ]
 
 
@@ -392,6 +395,10 @@ class Problem:
         return res, values
 
 
-# Collision constraint sets import from this module, so they load last.
+# Typed constraint sets import from this module, so they load last.
 from trajopt_tpu.ifopt.collision import (  # noqa: E402
     ContinuousCollisionConstraint, DiscreteCollisionConstraint)
+from trajopt_tpu.ifopt.constraints import (  # noqa: E402
+    CartLineConstraint, CartPosConstraint, InverseKinematicsConstraint,
+    JointAccelConstraint, JointJerkConstraint, JointPosConstraint,
+    JointVelConstraint)
