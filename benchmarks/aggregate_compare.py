@@ -19,6 +19,22 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# XLA:CPU LLVM ISel overflows default 8MB thread stacks on the largest
+# cast programs ("LLVM compilation error: Cannot allocate memory" then
+# SIGSEGV) — raise the soft limit BEFORE jax spawns its compile pool,
+# like tests/conftest.py.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        resource.setrlimit(resource.RLIMIT_STACK,
+                           (_want if _hard == resource.RLIM_INFINITY
+                            else min(_want, _hard), _hard))
+except Exception:
+    pass
+
 import jax
 
 if os.environ.get("AGG_CPU", "1") == "1":
