@@ -203,6 +203,30 @@ def test_scene_convex_discrete_swept_and_jacs():
     assert np.all(np.isfinite(np.asarray(J1)))
 
 
+def test_max_cross_edges_cap_bounds_axis_count():
+    """The scene-level cross-edge cap (CollisionScene.max_cross_edges)
+    truncates the RANKED edge set: separation results are unchanged (the
+    GJK certificate + witness axis never depend on edge crosses), and
+    the stacked edge arrays shrink to the cap.  Regression for the
+    round-4 152 GB SAT-projection OOM on the verbatim PR2 mesh scene."""
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(60, 3))
+    scene = CollisionScene(boxbot())
+    scene.max_cross_edges = 4
+    scene.add_link_convex("boxbot_link", pts)
+    scene.add_world_convex("whull", pts * 0.8 + np.array([3.0, 0.2, 0.1]))
+    (key, idxs, a, b), = [g for g in scene._pair_groups()
+                          if g[0] == ("convex", "convex")]
+    assert a["edges"].shape[1] <= 4 and b["edges"].shape[1] <= 4
+    d_capped = float(scene.distances(jnp.asarray([0.0, 0.0]))[0])
+    # uncapped scene agrees on the separated distance
+    scene2 = CollisionScene(boxbot())
+    scene2.add_link_convex("boxbot_link", pts)
+    scene2.add_world_convex("whull", pts * 0.8 + np.array([3.0, 0.2, 0.1]))
+    d_full = float(scene2.distances(jnp.asarray([0.0, 0.0]))[0])
+    np.testing.assert_allclose(d_capped, d_full, atol=1e-9)
+
+
 def test_unified_narrowphase_matches_grouped_near_contact():
     from trajopt_tpu.models.robots import pr2ish, pr2ish_scene
 

@@ -296,6 +296,17 @@ class CollisionScene:
     # normals + the centroid axis (exact for spheres/face contacts,
     # conservative at edge contacts).
     unify_narrowphase: bool = False
+    # Edge directions per hull eligible for SAT edge-cross candidate axes
+    # (ranked by parallel-class length in hull_of).  The cross block is
+    # quadratic in this cap and the SAT projection tensor is materialized
+    # as [batch..., V, K]: uncapped (24x24 -> 1644 axes) the verbatim PR2
+    # mesh scene's cast solve allocates 152 GB and dies (round-4
+    # measurement); at 6 the block adds ~90 axes over the 418 face axes.
+    # Separation soundness never depends on this cap (GJK certificate +
+    # witness axis); it only tightens penetration depth at edge-edge
+    # contacts.  Primitive forms (boxes/capsules) have <= 3 directions
+    # and are unaffected.
+    max_cross_edges: int = 6
 
     def add_geom(self, g: CollGeom) -> "CollisionScene":
         self.geoms.append(g)
@@ -518,7 +529,12 @@ class CollisionScene:
         normals = np.stack([np.pad(f[1], ((0, Fmax - f[1].shape[0]), (0, 0)))
                             for f in forms])
         nvalid = np.stack([np.arange(Fmax) < f[1].shape[0] for f in forms])
-        edges = np.stack([np.pad(f[2], ((0, Emax - f[2].shape[0]), (0, 0)))
+        # cap cross-eligible edge directions (ranked by weight in hull_of;
+        # see max_cross_edges above for the memory rationale)
+        Emax = min(Emax, max(int(self.max_cross_edges), 1))
+        edges = np.stack([np.pad(f[2][:Emax],
+                                 ((0, Emax - min(f[2].shape[0], Emax)),
+                                  (0, 0)))
                           for f in forms])
         evalid = np.stack([np.arange(Emax) < f[2].shape[0] for f in forms])
         for g in geoms:

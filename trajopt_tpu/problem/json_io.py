@@ -326,6 +326,13 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
             # pairs, collision_types.h:156-162).  Our cap is per
             # step/sub-segment over geom pairs, so default more
             # generously; pass max_num_cnt explicitly to override.
+            # MEASURED (round 4, benchmarks/aggregate_compare.py; table
+            # in ROADMAP.md): on the pr2ish cast scene hard top-k beats
+            # both all-pairs (17x run time, 3.2 vs 2.0 mean SQP iters)
+            # and the reference-style weighted-average aggregation (2.6
+            # iters, 10x run time), with identical 16/16
+            # converged+verified and the best worst-case clearance;
+            # k=16 and k=32 measure identically, 32 keeps headroom.
             mnc = 32
         prob.add_term(collision_term(
             env.scene, n_steps,
