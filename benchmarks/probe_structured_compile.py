@@ -56,7 +56,9 @@ def main():
                                            solve_qp_block_prepared)
     from __graft_entry__ import _solver_params
 
-    prob, scene = pr2ish_table_problem(n_steps=30)
+    prob, scene = pr2ish_table_problem(
+        n_steps=30,
+        unify_narrowphase=os.environ.get("PROBE_UNIFY", "0") == "1")
     nlp = prob.build()
     sqp = _solver_params()
     n = nlp.n

@@ -90,6 +90,7 @@ def pr2ish_table_problem(n_steps: int = 30, *, evaluator: str = "cast",
                          margin: float = 0.025, coeff: float = 20.0,
                          lvs_substeps: int = 3,
                          max_num_cnt: int | None = 16,
+                         unify_narrowphase: bool = False,
                          ) -> tuple[TrajOptProblem, CollisionScene]:
     """PR2-class arm-around-table CAST workload: 8-DOF (torso lift + 7R
     arm), self-collision ON, 90+ candidate pairs (tucked left arm, head,
@@ -108,6 +109,7 @@ def pr2ish_table_problem(n_steps: int = 30, *, evaluator: str = "cast",
 
     tree = pr2ish()
     scene = pr2ish_scene()
+    scene.unify_narrowphase = unify_narrowphase
     prob = TrajOptProblem(
         n_steps=n_steps, n_dof=8,
         joint_lower=tree.lower, joint_upper=tree.upper,
