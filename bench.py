@@ -89,9 +89,9 @@ def main():
     from trajopt_tpu.parallel.mesh import summarize
     from __graft_entry__ import _solver_params
 
-    # Batch sweep on v5e-1 (round 3, dense cast): B=128 137.7/s,
-    # B=192 137.9/s, B=96 133.2/s — flat past 128; keep 128 for latency.
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    # Batch sweep on v5e-1 (round 4, STRUCTURED cast, it=450/ce=150):
+    # B=128 577/s, B=192 550/s, B=256 602/s, B=512 478/s — 256 wins.
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     n_steps = 30
     reps = int(os.environ.get("BENCH_REPS", "5"))
     # Cast flagship runs the STRUCTURED block-banded QP path (round 4):

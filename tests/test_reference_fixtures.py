@@ -121,8 +121,12 @@ def test_arm_around_table_json_verbatim():
         atol=5e-3)
 
     init = np.asarray(doc["init_info"]["data"], float)
+    # f32 verification (same assertions): the f64 swept-query program
+    # took ~8.5 min of XLA:CPU compile on the 2-CPU CI host — half the
+    # whole test; f32 matches bench.py's verify path and the clearance
+    # scale (~0.025) sits 4 orders above f32 noise.
     gap_mins = _lvs_swept_gap_mins(scene,
-                                   np.stack([init, traj]).astype(np.float64))
+                                   np.stack([init, traj]).astype(np.float32))
     # the reference first asserts the INIT trajectory IS in collision...
     assert float(gap_mins[0].min()) < 0.0
     # ...and the solved one collision-free under its continuous check

@@ -25,14 +25,17 @@ class MpcState(NamedTuple):
     last: SQPResult | None
 
 
-def make_mpc_step(prob: TrajOptProblem, sqp: SQPParams = SQPParams()):
+def make_mpc_step(prob: TrajOptProblem, sqp: SQPParams = SQPParams(),
+                  structured: bool = False):
     """Returns ``step(traj, params) -> (new_traj, SQPResult)``.
 
     The previous plan is shifted one step (the executed step drops off,
     the last state duplicates) and used as the warm start; fixed_steps
-    should include 0 so the new start state is pinned.
+    should include 0 so the new start state is pinned.  ``structured``
+    routes the QP through the block-banded ADMM path (4x the dense cast
+    throughput, see ROADMAP round-4 measurements).
     """
-    solve = prob.make_solve(sqp)
+    solve = prob.make_solve(sqp, structured=structured)
     n_steps = prob.n_steps
 
     def step(traj: jax.Array, params: Any):
