@@ -50,20 +50,31 @@ def main():
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from __graft_entry__ import _solver_params
-    from trajopt_tpu.models.benchmarks import arm_table_batch, arm_table_problem
+    from trajopt_tpu.models.benchmarks import (arm_table_batch,
+                                               arm_table_problem,
+                                               pr2ish_table_batch,
+                                               pr2ish_table_problem)
     from trajopt_tpu.qp import block_banded as bb
     from trajopt_tpu.qp.admm_block import BlockQP, solve_qp_block
     from trajopt_tpu.sqp import nlp as nlp_mod
     from trajopt_tpu.sqp.solver import _structured_cnt_coeffs
 
-    B, T, D = int(os.environ.get("BENCH_BATCH", "96")), 30, 7
-    sqp = _solver_params()
-    prob, _ = arm_table_problem(n_steps=T)
+    # PROFILE_WORKLOAD=cast profiles the pr2ish flagship; default arm7.
+    workload = os.environ.get("PROFILE_WORKLOAD", "discrete")
+    T = 30
+    if workload == "cast":
+        B = int(os.environ.get("BENCH_BATCH", "256"))
+        sqp = _solver_params("cast")
+        prob, _ = pr2ish_table_problem(n_steps=T)
+        inits, goals = pr2ish_table_batch(jax.random.PRNGKey(0), B, T)
+    else:
+        B = int(os.environ.get("BENCH_BATCH", "96"))
+        sqp = _solver_params("discrete")
+        prob, _ = arm_table_problem(n_steps=T)
+        inits, goals = arm_table_batch(jax.random.PRNGKey(0), B, T)
     nlp = prob.build()
     n = nlp.n
     dtype = jnp.float32
-
-    inits, goals = arm_table_batch(jax.random.PRNGKey(0), B, T)
     x0 = inits.astype(dtype).reshape(B, -1)
 
     # --- full solve reference ---

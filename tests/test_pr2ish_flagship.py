@@ -77,3 +77,28 @@ def test_pr2ish_batch_goals_feasible():
                                       dtype=jnp.float64)
     d = jax.vmap(lambda g: jnp.min(scene.distances(g)))(goals)
     assert float(jnp.min(d)) >= 0.03
+
+
+def test_pr2ish_hard_mix_goals_feasible_and_distinct():
+    """hard_frac routes the first lanes to the borderline detour goals
+    (models/benchmarks.py PR2ISH_GOALS_BORDERLINE): the goals themselves
+    stay collision-free (the instances are hard because of the PATH, not
+    an infeasible target), and the hard lanes differ from the standard
+    mode."""
+    from trajopt_tpu.models.benchmarks import PR2ISH_GOALS_BORDERLINE
+
+    _, scene = pr2ish_table_problem(n_steps=5)
+    inits, goals = pr2ish_table_batch(jax.random.PRNGKey(0), 32, 5,
+                                      dtype=jnp.float64, hard_frac=0.25)
+    d = jax.vmap(lambda g: jnp.min(scene.distances(g)))(goals)
+    assert float(jnp.min(d)) >= 0.02
+    # first ceil(0.25*32)=8 lanes are near the borderline cluster
+    g = np.asarray(goals)
+    base = PR2ISH_GOALS_BORDERLINE[np.arange(8) % 3]
+    assert np.abs(g[:8] - base).max() < 0.5
+    # ...and far from the standard goal mode
+    assert np.abs(g[:8] - np.asarray(PR2ISH_GOAL)).max() > 0.5
+    # standard lanes unchanged vs hard_frac=0 for the same key
+    _, goals0 = pr2ish_table_batch(jax.random.PRNGKey(0), 32, 5,
+                                   dtype=jnp.float64, hard_frac=0.0)
+    np.testing.assert_allclose(g[8:], np.asarray(goals0)[8:], atol=0)
