@@ -8,8 +8,12 @@ program per step — the 'Batched MPC: randomized scenes/goals' workload of
 BASELINE.json at example scale.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import jax
 import jax.numpy as jnp

@@ -12,6 +12,9 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,8 +42,14 @@ def main():
                       current_state=ARM7_HOME)
     jp = construct_problem(doc, env)
 
+    # The CSV iteration callback rides jax io_callback, which the
+    # tunneled axon TPU backend does not support (host send/recv);
+    # skip it there — the solve itself is unaffected.
+    pv = getattr(jax.devices()[0].client, "platform_version", "")
+    use_callback = "axon" not in pv
     logger = CsvLogger()
-    solve = jp.prob.make_solve(jp.sqp, callback=make_iteration_callback(logger))
+    cb = make_iteration_callback(logger) if use_callback else None
+    solve = jp.prob.make_solve(jp.sqp, callback=cb)
     res = solve(jp.init_traj)
     n = jp.prob.n_steps
     traj = np.asarray(res.x).reshape(n, 7)
@@ -54,9 +63,10 @@ def main():
 
     plot_trajectory_joints(traj, os.path.join(out_dir, "trajectory.png"),
                            env.tree.active_joint_names)
-    plot_iterations(logger, os.path.join(out_dir, "convergence.png"),
-                    n_steps=n, n_dof=7)
-    logger.write_solver_log(os.path.join(out_dir, "trajopt_solver.log"))
+    if use_callback:
+        plot_iterations(logger, os.path.join(out_dir, "convergence.png"),
+                        n_steps=n, n_dof=7)
+        logger.write_solver_log(os.path.join(out_dir, "trajopt_solver.log"))
     print("wrote plots + logs to", out_dir)
 
 
