@@ -947,24 +947,35 @@ class CollisionScene:
         return Rw, pw
 
     def swept_distances(self, q0: jax.Array, q1: jax.Array,
-                        params=None) -> jax.Array:
+                        params=None, fk0=None, fk1=None) -> jax.Array:
         """[n_pairs] signed distances of geometry swept from q0 to q1
-        (cast collision between two adjacent timesteps)."""
+        (cast collision between two adjacent timesteps).
+
+        ``fk0``/``fk1`` optionally supply precomputed (R, p) link poses
+        for the endpoints so LVS sub-segments sharing an endpoint don't
+        re-run FK (the FK pass dominates the swept value query at
+        flagship batch sizes — benchmarks/narrowphase_profile.py)."""
         dtype = q0.dtype
-        R0, p0 = self.tree.fk(q0)
-        R1, p1 = self.tree.fk(q1)
+        R0, p0 = fk0 if fk0 is not None else self.tree.fk(q0)
+        R1, p1 = fk1 if fk1 is not None else self.tree.fk(q1)
         return self._swept_from_poses(R0, p0, R1, p1, dtype, params)
 
     def swept_distances_and_jac(self, q0: jax.Array, q1: jax.Array,
-                                params=None):
+                                params=None, fk0=None, fk1=None):
         """(ds [n_pairs], J0 [n_pairs, n_dof], J1 [n_pairs, n_dof]) for the
         cast/swept check — per-pair analytic composition exactly like
         :meth:`distances_and_jac`, applied independently at each endpoint
         (the reference scales the two casted-state gradients by cc_time;
-        here the dependence flows through both endpoint poses exactly)."""
+        here the dependence flows through both endpoint poses exactly).
+
+        ``fk0``/``fk1`` optionally supply precomputed (R, p, z, o) from
+        ``tree.fk_with_axes`` so adjacent LVS sub-segments share their
+        endpoint FK (see :meth:`swept_distances`)."""
         dtype = q0.dtype
-        R0, p0, z0, o0 = self.tree.fk_with_axes(q0)
-        R1, p1, z1, o1 = self.tree.fk_with_axes(q1)
+        R0, p0, z0, o0 = (fk0 if fk0 is not None
+                          else self.tree.fk_with_axes(q0))
+        R1, p1, z1, o1 = (fk1 if fk1 is not None
+                          else self.tree.fk_with_axes(q1))
         zxo0 = jnp.cross(z0, o0)
         zxo1 = jnp.cross(z1, o1)
         is_rev = jnp.asarray(self.tree._active_types() == 0)

@@ -109,12 +109,20 @@ class KinematicTree:
 
         Returns (R [n_links,3,3], p [n_links,3]).  vmap for batches.
 
-        Small trees unroll the topological loop at trace time; larger
-        trees (reference-class robots) use a lax.scan over the joint
-        arrays so the FK contributes ONE scan body to the HLO instead of
-        n_joints unrolled copies per call site (compile-time lever — the
-        solver traces FK at many sites)."""
-        if len(self.joints) >= 10:
+        Default is the scalar-form (structure-of-arrays) unrolled FK: on
+        TPU every [*,3,3] intermediate pads its two minor dims onto
+        (8, 128) vector tiles (~100x idle lanes), and the lax.scan form
+        additionally rewrites the whole [n_links, ...] carry every joint
+        step — measured 5.7 ms for a 7680-config fk_with_axes batch vs
+        ~0.6 ms scalar-form (benchmarks/narrowphase_profile.py).  Set
+        fk_mode to "scan" to restore the scan form (one HLO scan body
+        per call site, the round-3 compile-time lever) or "unrolled" for
+        the matrix-form unrolled reference implementation."""
+        mode = getattr(self, "fk_mode", "soa")
+        if mode == "soa":
+            R, p, _, _ = self._fk_soa(q, with_axes=False)
+            return R, p
+        if mode == "scan" and len(self.joints) >= 10:
             return self._fk_scan(q)
         return self._fk_unrolled(q)
 
@@ -165,6 +173,119 @@ class KinematicTree:
         (Rs, ps), _ = jax.lax.scan(step, (R0, p0), xs)
         return Rs, ps
 
+    def _fk_soa(self, q: jax.Array, with_axes: bool):
+        """Scalar-form unrolled FK (and optional joint axes/origins).
+
+        Identical math to :meth:`_fk_unrolled`, but every rotation is
+        carried as 9 individual scalars and every point as 3, so all
+        intermediates under vmap have the pure batch shape (full lanes on
+        TPU) and constant origin/axis entries fold away at trace time.
+        Returns packed (R [L,3,3], p [L,3], z [n_dof,3] | None,
+        o [n_dof,3] | None)."""
+        dtype = q.dtype
+        zero = jnp.zeros((), dtype)
+        one = jnp.ones((), dtype)
+
+        # None represents an exact structural zero (folded at trace time).
+        def cmul(c, a):
+            c = float(c)
+            if c == 0.0 or a is None:
+                return None
+            if c == 1.0:
+                return a
+            if c == -1.0:
+                return -a
+            return c * a
+
+        def amul(a, b):
+            return None if (a is None or b is None) else a * b
+
+        def acc(*terms):
+            out = None
+            for t in terms:
+                if t is None:
+                    continue
+                out = t if out is None else out + t
+            return out
+
+        def z_of(a):
+            return zero if a is None else a
+
+        def mat_const(A, C):
+            """A (3x3 scalars) @ C (3x3 numpy constants)."""
+            return [[acc(*(cmul(C[k][j], A[i][k]) for k in range(3)))
+                     for j in range(3)] for i in range(3)]
+
+        def vec_const(A, v):
+            """A @ v for constant 3-vector v."""
+            return [acc(*(cmul(v[k], A[i][k]) for k in range(3)))
+                    for i in range(3)]
+
+        def matmat(A, B):
+            return [[acc(*(amul(A[i][k], B[k][j]) for k in range(3)))
+                     for j in range(3)] for i in range(3)]
+
+        Rs: list = [None] * self.n_links
+        ps: list = [None] * self.n_links
+        Rs[0] = [[one, None, None], [None, one, None], [None, None, one]]
+        ps[0] = [None, None, None]
+        z_ax: list = [None] * self.n_dof
+        o_ax: list = [None] * self.n_dof
+
+        for k, j in enumerate(self.joints):
+            Rp = Rs[self.parent_link[k]]
+            pp = ps[self.parent_link[k]]
+            R_or = _np_rpy_matrix(j.origin_rpy)
+            # snap numerically-exact entries so they fold (cos/sin of
+            # multiples of pi/2 carry ~1e-17 noise)
+            R_or = np.where(np.abs(R_or) < 1e-15, 0.0,
+                            np.where(np.abs(R_or - 1.0) < 1e-15, 1.0,
+                                     np.where(np.abs(R_or + 1.0) < 1e-15,
+                                              -1.0, R_or)))
+            p_or = np.asarray(j.origin_xyz, float)
+            Rj = mat_const(Rp, R_or)
+            pv = vec_const(Rp, p_or)
+            pj = [acc(pv[i], pp[i]) for i in range(3)]
+            qi = self.q_index[k]
+            if qi >= 0 and j.jtype == urdf_mod.REVOLUTE:
+                x, y, z = (float(v) for v in j.axis)
+                th = q[qi]
+                c = jnp.cos(th)
+                s = jnp.sin(th)
+                C = 1.0 - c
+                Raa = [[acc(c, cmul(x * x, C)),
+                        acc(cmul(x * y, C), cmul(-z, s)),
+                        acc(cmul(x * z, C), cmul(y, s))],
+                       [acc(cmul(y * x, C), cmul(z, s)),
+                        acc(c, cmul(y * y, C)),
+                        acc(cmul(y * z, C), cmul(-x, s))],
+                       [acc(cmul(z * x, C), cmul(-y, s)),
+                        acc(cmul(z * y, C), cmul(x, s)),
+                        acc(c, cmul(z * z, C))]]
+                Rj = matmat(Rj, Raa)
+            elif qi >= 0 and j.jtype == urdf_mod.PRISMATIC:
+                d = vec_const(Rj, np.asarray(j.axis, float))
+                th = q[qi]
+                pj = [acc(pj[i], amul(d[i], th)) for i in range(3)]
+            Rs[self.child_link[k]] = Rj
+            ps[self.child_link[k]] = pj
+            if with_axes and qi >= 0:
+                z_ax[qi] = vec_const(Rj, np.asarray(j.axis, float))
+                o_ax[qi] = pj
+
+        def pack_mats(mats):
+            return jnp.stack([jnp.stack([jnp.stack([z_of(e) for e in row])
+                                         for row in M]) for M in mats])
+
+        def pack_vecs(vecs):
+            return jnp.stack([jnp.stack([z_of(e) for e in v]) for v in vecs])
+
+        R = pack_mats(Rs)
+        p = pack_vecs(ps)
+        if not with_axes:
+            return R, p, None, None
+        return R, p, pack_vecs(z_ax), pack_vecs(o_ax)
+
     def fk_with_axes(self, q: jax.Array):
         """FK plus per-active-joint world axis z_i and origin o_i (for the
         geometric Jacobian).
@@ -172,6 +293,9 @@ class KinematicTree:
         The joint frame = child link frame; for revolute joints the axis
         is unaffected by the joint's own rotation, so Rc @ axis is exact
         for both types."""
+        if getattr(self, "fk_mode", "soa") == "soa":
+            R, p, z, o = self._fk_soa(q, with_axes=True)
+            return R, p, z, o
         dtype = q.dtype
         R, p = self.fk(q)
         cache = getattr(self, "_axes_consts_cache", None)

@@ -329,13 +329,22 @@ def collision_term(
             n_sub = lvs_substeps
             fr_a = jnp.asarray(fracs[:-1])
             fr_b = jnp.asarray(fracs[1:])
+            fr_all = jnp.asarray(fracs)
 
             def gap_dists(q0, q1, params=None):
+                # ONE FK pass over the n_sub+1 interpolation points;
+                # adjacent sub-segments share their endpoint poses (FK
+                # dominates the swept value query at flagship batches —
+                # benchmarks/narrowphase_profile.py).
                 dq = q1 - q0
+                qf = q0[None] + fr_all.astype(q0.dtype)[:, None] * dq[None]
+                R, p = jax.vmap(scene.tree.fk)(qf)
                 return jax.vmap(
-                    lambda fa, fb: scene.swept_distances(
-                        q0 + fa * dq, q0 + fb * dq, params)
-                )(fr_a.astype(q0.dtype), fr_b.astype(q0.dtype))
+                    lambda fa, fb, f0, f1: scene.swept_distances(
+                        q0 + fa * dq, q0 + fb * dq, params,
+                        fk0=f0, fk1=f1)
+                )(fr_a.astype(q0.dtype), fr_b.astype(q0.dtype),
+                  (R[:-1], p[:-1]), (R[1:], p[1:]))
 
         n_rows = G * n_sub * k_rows
 
@@ -382,16 +391,26 @@ def collision_term(
             else:  # cast
                 fr_a = jnp.asarray(fracs[:-1])
                 fr_b = jnp.asarray(fracs[1:])
+                fr_all2 = jnp.asarray(fracs)
 
                 def one(a, b):
+                    # shared FK+axes across sub-segment endpoints (see
+                    # gap_dists above)
                     dq = b - a
-                    def sub(fa, fb):
+                    qf = (a[None]
+                          + fr_all2.astype(a.dtype)[:, None] * dq[None])
+                    R, p, z, o = jax.vmap(scene.tree.fk_with_axes)(qf)
+
+                    def sub(fa, fb, f0, f1):
                         d, Ja, Jb = scene.swept_distances_and_jac(
-                            a + fa * dq, a + fb * dq, params)
+                            a + fa * dq, a + fb * dq, params,
+                            fk0=f0, fk1=f1)
                         return (d, (1.0 - fa) * Ja + (1.0 - fb) * Jb,
                                 fa * Ja + fb * Jb)
-                    return jax.vmap(sub)(fr_a.astype(a.dtype),
-                                         fr_b.astype(a.dtype))
+                    return jax.vmap(sub)(
+                        fr_a.astype(a.dtype), fr_b.astype(a.dtype),
+                        (R[:-1], p[:-1], z[:-1], o[:-1]),
+                        (R[1:], p[1:], z[1:], o[1:]))
 
             ds, J0, J1 = jax.vmap(one)(qs[gaps_arr], qs[gaps_arr + 1])
             cf = jnp.asarray(coeff_sl, x.dtype)[..., None]
