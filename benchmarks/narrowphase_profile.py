@@ -117,6 +117,36 @@ def main():
     t_term = _marginal(mk_term, x0)
     print(f"collision val_banded_jac     : {t_term*1e3:8.2f} ms/call")
 
+    # 4b. value+jac WITHOUT select/W: the term's gap-blocks pass alone
+    import trajopt_tpu.terms.collision as tc  # noqa: F401  (term internals)
+
+    def mk_term_noW(k):
+        # approximates _gap_vals_blocks by calling the swept pass at the
+        # same substep count through the public API
+        fr = np.linspace(0.0, 1.0, 4)
+
+        def body(c, x):
+            qs = x.reshape(T, -1)[:, :scene.tree.n_dof]
+            a, b = qs[:-1], qs[1:]
+            dq = b - a
+            qf = (a[:, None, :] + jnp.asarray(fr, dtype)[None, :, None]
+                  * dq[:, None, :])                       # [G, 4, n_dof]
+            R, p, z, o = jax.vmap(jax.vmap(scene.tree.fk_with_axes))(
+                qf + c * 1e-9)
+
+            def one(ai, dqi, fkR, fkp, fkz, fko):
+                def sub(f0, f1):
+                    return scene.swept_distances_and_jac(
+                        ai, ai, fk0=f0, fk1=f1)
+                return jax.vmap(sub)(
+                    (fkR[:-1], fkp[:-1], fkz[:-1], fko[:-1]),
+                    (fkR[1:], fkp[1:], fkz[1:], fko[1:]))
+            d, J0, J1 = jax.vmap(one)(a, dq, R, p, z, o)
+            return (jnp.sum(d) + jnp.sum(J0) + jnp.sum(J1)) * 1e-9
+        return scan_scalar(body, k)
+    t_noW = _marginal(mk_term_noW, x0)
+    print(f"gap-blocks (3 substep vj)    : {t_noW*1e3:8.2f} ms/call")
+
     # 5. full convexify_structured
     jac_cache = nlp_mod.linear_jacobians(nlp, nlp.n, {"goal": goals[0]}, dtype)
 
