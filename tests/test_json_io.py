@@ -147,6 +147,78 @@ def test_cart_pose_json_term():
     np.testing.assert_allclose(p[tree.link_id("ee_link")], target_p, atol=1e-3)
 
 
+def test_dynamic_cart_pose_json_term():
+    """dynamic_cart_pose hatches from JSON (the reference registers
+    DynamicCartPoseTermInfo under that name, problem_description.cpp:53,
+    312) with source/target frame offsets applied."""
+    from trajopt_tpu.models.robots import rrbot
+    tree = rrbot()
+    env = Environment(tree=tree, current_state=np.array([0.7, 0.5]))
+    doc = {
+        "basic_info": {"n_steps": 1, "manip": "m"},
+        "constraints": [
+            {"type": "dynamic_cart_pose",
+             "params": {"timestep": 0, "source_frame": "ee_link",
+                        "target_frame": "link_1",
+                        # relative pose of ee in link_1 frame when q2 = 0
+                        "target_frame_offset_xyz": [1.8, 0.0, 0.0],
+                        "rot_coeffs": [0, 0, 0]}},
+        ],
+        "init_info": {"type": "stationary"},
+    }
+    jp = construct_problem(doc, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    q = np.asarray(res.x)
+    np.testing.assert_allclose(q[1], 0.0, atol=1e-4)  # q2 driven to zero
+
+    # a static target_frame is a config error for the dynamic term
+    bad = {
+        "basic_info": {"n_steps": 1, "manip": "m"},
+        "constraints": [
+            {"type": "dynamic_cart_pose",
+             "params": {"timestep": 0, "source_frame": "ee_link",
+                        "target_frame": "base_link"}},
+        ],
+        "init_info": {"type": "stationary"},
+    }
+    with pytest.raises(ValueError, match="static"):
+        construct_problem(bad, env)
+
+
+def test_cart_pose_source_frame_offset_json():
+    """source_frame_offset_xyz shifts the controlled point (TCP) — the
+    reference applies both frame offsets (problem_description.cpp:726-766);
+    previously the field was accepted but silently ignored."""
+    from trajopt_tpu.models.robots import rrbot
+    tree = rrbot()
+    env = Environment(tree=tree, current_state=np.array([0.1, 0.1]))
+    target_q = np.array([0.8, -0.6])
+    # place the TCP 0.1 beyond the ee along its local x; target = that
+    # point's world position at target_q
+    import jax.numpy as jnp
+    R, p = tree.fk(jnp.asarray(target_q))
+    eid = tree.link_id("ee_link")
+    tcp_world = np.asarray(p[eid]) + np.asarray(R[eid]) @ np.array([0.1, 0, 0])
+    doc = {
+        "basic_info": {"n_steps": 1, "manip": "m"},
+        "constraints": [
+            {"type": "cart_pose",
+             "params": {"timestep": 0, "source_frame": "ee_link",
+                        "source_frame_offset_xyz": [0.1, 0.0, 0.0],
+                        "target_frame_offset_xyz": list(tcp_world),
+                        "rot_coeffs": [0, 0, 0]}},
+        ],
+        "init_info": {"type": "stationary"},
+    }
+    jp = construct_problem(doc, env)
+    res = jp.solve()
+    assert int(res.status) == SQPStatus.CONVERGED
+    R2, p2 = tree.fk(res.x.reshape(2))
+    got = np.asarray(p2[eid]) + np.asarray(R2[eid]) @ np.array([0.1, 0, 0])
+    np.testing.assert_allclose(got, tcp_world, atol=1e-3)
+
+
 def test_use_time_json_problem():
     """basic_info.use_time routes joint_vel to its 1/dt variant and enables
     total_time (arm_around_table_time.json pattern)."""

@@ -44,6 +44,58 @@ def test_unsatisfiable_constraints_hit_penalty_limit():
     assert float(res.merit_coeffs.max()) >= 10.0 * 10.0 ** 4
 
 
+def test_second_chance_restart_recovers():
+    """max_restarts: a lane that exhausts its merit escalations under a
+    hopeless initial coefficient recovers when the restart re-seeds the
+    penalty schedule at restart_merit_coeff (round-5 hard-mix knob)."""
+    import dataclasses
+
+    from trajopt_tpu.sqp.params import SQPParams
+
+    # strong cost pulls x to 0; constraint wants x = 1.  With coeff
+    # starting at 1e-6 and only 2 escalations (max coeff 1e-4 << cost
+    # curvature) the violation never closes -> PENALTY_ITERATION_LIMIT.
+    nlp = Nlp(n=1, term_sets=(
+        TermSet("pull", Kind.COST_SQ, lambda x, p: 100.0 * x, 1),
+        TermSet("goal", Kind.CNT_EQ, lambda x, p: x - 1.0, 1),
+    ))
+    base = dataclasses.replace(
+        SQPParams(), initial_merit_error_coeff=1e-6,
+        max_merit_coeff_increases=2)
+    res = make_solver(nlp, sqp=base)(
+        jnp.zeros(1), jnp.full(1, -INF), jnp.full(1, INF), {})
+    assert int(res.status) == SQPStatus.PENALTY_ITERATION_LIMIT
+
+    # One restart with a live coefficient converges (x -> 1 within the
+    # exact-penalty threshold; 1e6 >> 2*100^2 makes the L1 penalty exact).
+    res2 = make_solver(nlp, sqp=dataclasses.replace(
+        base, max_restarts=1, restart_merit_coeff=1e6))(
+        jnp.zeros(1), jnp.full(1, -INF), jnp.full(1, INF), {})
+    assert int(res2.status) == SQPStatus.CONVERGED
+    np.testing.assert_allclose(float(res2.x[0]), 1.0, atol=1e-3)
+
+
+def test_box_reset_to_initial_flag():
+    """box_reset_to_initial must not change results on an easy problem
+    (escalation never fires) and must compile cleanly."""
+    import dataclasses
+
+    from trajopt_tpu.sqp.params import SQPParams
+
+    n = 4
+    prob = TrajOptProblem(n_steps=n, n_dof=2, joint_lower=[-10, -10],
+                          joint_upper=[10, 10], fixed_steps=[0])
+    prob.add_term(joint_vel(n, 2, is_cost=True))
+    prob.add_term(joint_pos(n, 2, is_cost=False, targets=np.array([1.0, 2.0]),
+                            first_step=n - 1, last_step=n - 1))
+    init = stationary_init(jnp.zeros(2), n)
+    r1 = prob.make_solve(SQPParams())(init, {})
+    r2 = prob.make_solve(dataclasses.replace(
+        SQPParams(), box_reset_to_initial=True))(init, {})
+    assert int(r2.status) == SQPStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-10)
+
+
 def test_batch_order_invariance():
     """Permuting the batch permutes the results identically (determinism
     under batching — the analog of the reference's threaded re-run

@@ -17,9 +17,13 @@ kernel covers every pairing:
   without backprop through the iterations.
 * penetrating: separating-axis (SAT) depth over both hulls' face
   normals, the centroid axis, and edge-direction cross products — the
-  EPA role with static shapes.  With the edge-cross axes included the
-  candidate set is COMPLETE for polytope pairs (separating-axis
-  theorem), so the depth is the exact minimum-translation depth.
+  EPA role with static shapes.  The FULL edge-cross set would make the
+  candidate set complete for polytope pairs (separating-axis theorem);
+  in practice the per-hull edge-direction set is capped
+  (``max_cross_edges``, collision/world.py) so the depth at edge-edge
+  contacts of complex hulls is CONSERVATIVE (an upper bound on
+  penetration depth — never under-reports), exact for face contacts and
+  for hulls within the cap.  world.py documents the cap trade-off.
 
 The branch test is GJK's OWN certificate, not SAT's: ``d_gjk > eps``
 proves separation (GJK converges finitely and exactly on polytopes) —
@@ -153,8 +157,11 @@ def _gjk_weights(A: jax.Array, B: jax.Array, iters: int = 16):
         bd2, bidA, bidB, blam = best
         W = A[idA] - B[idB]                                # [4, 3]
         z = lam @ W
-        sa = jnp.argmin(A @ z)
-        sb = jnp.argmax(B @ z)
+        # int32: the simplex index slots are int32 and x64 mode would
+        # otherwise produce int64 argmin/argmax (unsafe-scatter error in
+        # future JAX releases)
+        sa = jnp.argmin(A @ z).astype(jnp.int32)
+        sb = jnp.argmax(B @ z).astype(jnp.int32)
         # replace the least-contributing slot with the new support point
         slot = jnp.argmin(merge_duplicates(idA, idB, lam))
         idA = idA.at[slot].set(sa)

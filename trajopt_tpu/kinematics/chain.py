@@ -28,16 +28,24 @@ def _np_rpy_matrix(rpy) -> np.ndarray:
     """Pure-numpy URDF fixed-axis RPY (R = Rz @ Ry @ Rx).
 
     FK constants must be host-side numpy even when first requested inside a
-    jit trace (jnp ops would be staged and return tracers there)."""
+    jit trace (jnp ops would be staged and return tracers there).
+
+    Entries within 1e-15 of {0, +-1} are snapped exactly (cos/sin of
+    multiples of pi/2 carry ~1e-17 noise): the SoA FK form folds exact
+    structural zeros at trace time, and applying the same snapping here
+    keeps all three FK forms (unrolled / scan / soa) bit-identical."""
     r, p, y = float(rpy[0]), float(rpy[1]), float(rpy[2])
     cr, sr = np.cos(r), np.sin(r)
     cp, sp = np.cos(p), np.sin(p)
     cy, sy = np.cos(y), np.sin(y)
-    return np.array([
+    R = np.array([
         [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
         [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
         [-sp, cp * sr, cp * cr],
     ])
+    return np.where(np.abs(R) < 1e-15, 0.0,
+                    np.where(np.abs(R - 1.0) < 1e-15, 1.0,
+                             np.where(np.abs(R + 1.0) < 1e-15, -1.0, R)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +71,10 @@ class KinematicTree:
     lower: np.ndarray
     upper: np.ndarray
     ancestor: np.ndarray
+    # FK implementation: "soa" (scalar-form unrolled, TPU default — full
+    # vector lanes under vmap), "scan" (one HLO scan body per call site,
+    # the compile-time lever), or "unrolled" (matrix-form reference).
+    fk_mode: str = "soa"
 
     @property
     def n_dof(self) -> int:
@@ -118,7 +130,7 @@ class KinematicTree:
         fk_mode to "scan" to restore the scan form (one HLO scan body
         per call site, the round-3 compile-time lever) or "unrolled" for
         the matrix-form unrolled reference implementation."""
-        mode = getattr(self, "fk_mode", "soa")
+        mode = self.fk_mode
         if mode == "soa":
             R, p, _, _ = self._fk_soa(q, with_axes=False)
             return R, p
@@ -235,13 +247,7 @@ class KinematicTree:
         for k, j in enumerate(self.joints):
             Rp = Rs[self.parent_link[k]]
             pp = ps[self.parent_link[k]]
-            R_or = _np_rpy_matrix(j.origin_rpy)
-            # snap numerically-exact entries so they fold (cos/sin of
-            # multiples of pi/2 carry ~1e-17 noise)
-            R_or = np.where(np.abs(R_or) < 1e-15, 0.0,
-                            np.where(np.abs(R_or - 1.0) < 1e-15, 1.0,
-                                     np.where(np.abs(R_or + 1.0) < 1e-15,
-                                              -1.0, R_or)))
+            R_or = _np_rpy_matrix(j.origin_rpy)  # snapped constants fold
             p_or = np.asarray(j.origin_xyz, float)
             Rj = mat_const(Rp, R_or)
             pv = vec_const(Rp, p_or)
@@ -278,6 +284,8 @@ class KinematicTree:
                                          for row in M]) for M in mats])
 
         def pack_vecs(vecs):
+            if not vecs:  # n_dof == 0 degenerate tree
+                return jnp.zeros((0, 3), dtype)
             return jnp.stack([jnp.stack([z_of(e) for e in v]) for v in vecs])
 
         R = pack_mats(Rs)
@@ -293,7 +301,7 @@ class KinematicTree:
         The joint frame = child link frame; for revolute joints the axis
         is unaffected by the joint's own rotation, so Rc @ axis is exact
         for both types."""
-        if getattr(self, "fk_mode", "soa") == "soa":
+        if self.fk_mode == "soa":
             R, p, z, o = self._fk_soa(q, with_axes=True)
             return R, p, z, o
         dtype = q.dtype

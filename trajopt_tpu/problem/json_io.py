@@ -13,7 +13,8 @@ fromJson``, ``trajopt/src/problem_description.cpp:272-307``):
 
 Unknown document fields are rejected like ``ensure_only_members``
 (pd.cpp:32-45).  Term coverage: joint_{pos,vel,acc,jerk}, collision,
-cart_pose, cart_vel.  ``manip`` selects a robot via the caller-provided
+cart_pose, dynamic_cart_pose, cart_vel, avoid_singularity, total_time,
+user_defined.  ``manip`` selects a robot via the caller-provided
 environment (kinematic tree + collision scene).
 """
 
@@ -384,7 +385,11 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
             last_step=int(params.get("last_step", -1)),
             fixed_steps=list(params.get("fixed_steps", [])),
             n_dof_total=prob.n_dof_total, name=name))
-    elif ttype == "cart_pose":
+    elif ttype in ("cart_pose", "dynamic_cart_pose"):
+        # Shared field set: CartPoseTermInfo::fromJson
+        # (problem_description.cpp:726-766) and
+        # DynamicCartPoseTermInfo::fromJson (:312-350, registered at :53)
+        # read the same params; both apply source/target frame offsets.
         _ensure_only(params, {"timestep", "source_frame", "target_frame",
                               "pos_coeffs", "rot_coeffs",
                               "source_frame_offset_xyz",
@@ -398,21 +403,43 @@ def _add_term(prob: TrajOptProblem, env: Environment, doc: dict,
         coeffs = np.concatenate([pos_c, rot_c])
         link = params.get("source_frame", params.get("link"))
         target_frame = params.get("target_frame")
+        src_xyz = np.asarray(params.get("source_frame_offset_xyz",
+                                        [0, 0, 0]), float)
+        src_R = _quat_to_matrix(np.asarray(
+            params.get("source_frame_offset_wxyz", [1, 0, 0, 0]), float))
         xyz = np.asarray(params.get(
             "target_frame_offset_xyz", params.get("xyz", [0, 0, 0])), float)
         wxyz = np.asarray(params.get(
             "target_frame_offset_wxyz", params.get("wxyz", [1, 0, 0, 0])), float)
         R = _quat_to_matrix(wxyz)
-        if target_frame and target_frame in env.tree.link_names and \
-                np.any(env.tree.ancestor[env.tree.link_id(target_frame)]):
+        target_moves = (
+            target_frame is not None
+            and target_frame in env.tree.link_names
+            and np.any(env.tree.ancestor[env.tree.link_id(target_frame)]))
+        if ttype == "dynamic_cart_pose":
+            # The reference requires an actual moving target frame here
+            # (DynamicCartPoseTermInfo::hatch asserts both frames are
+            # active); a static target_frame is a config error.
+            if target_frame is None:
+                raise ValueError(f"dynamic_cart_pose requires target_frame "
+                                 f"in {where}")
+            if target_frame not in env.tree.link_names:
+                raise ValueError(f"unknown target_frame {target_frame!r} "
+                                 f"in {where}")
+            if not target_moves:
+                raise ValueError(
+                    f"dynamic_cart_pose target_frame {target_frame!r} is "
+                    f"static; use cart_pose in {where}")
+        if target_moves:
             prob.add_term(cart_terms.dynamic_cart_pose(
                 env.tree, link, target_frame, n_steps, timestep,
-                is_cost=is_cost, target_tcp=(R, xyz), coeffs=coeffs,
+                is_cost=is_cost, tcp=(src_R, src_xyz),
+                target_tcp=(R, xyz), coeffs=coeffs,
                 n_dof_total=prob.n_dof_total, name=name))
         else:
             prob.add_term(cart_terms.cart_pose(
                 env.tree, link, n_steps, timestep, is_cost=is_cost,
-                target=(R, xyz), coeffs=coeffs,
+                tcp=(src_R, src_xyz), target=(R, xyz), coeffs=coeffs,
                 n_dof_total=prob.n_dof_total, name=name))
     elif ttype == "avoid_singularity":
         _ensure_only(params, {"link", "lambda", "coeffs", "first_step",

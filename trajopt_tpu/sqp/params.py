@@ -64,6 +64,24 @@ class SQPParams:
     # inner while runs until accept or box < min; with shrink=0.1 from the
     # largest sensible box that is bounded, so a static cap is safe.
     max_trust_iter: int = 12
+    # On penalty escalation, reset the trust box to initial_trust_box_size
+    # instead of the reference's fmax(box, min/shrink*1.5)
+    # (optimizers.cpp:967).  A collapsed box at escalation time otherwise
+    # limits the very next round to ~1.5e-3-size steps, so a lane that
+    # needs a detour re-converges in place and burns its merit increases
+    # without moving (round-5 hard-mix fix; measured on the borderline
+    # cluster).
+    box_reset_to_initial: bool = False
+    # Second-chance restarts (extension; the reference has none): when the
+    # penalty loop exhausts max_merit_coeff_increases with violated
+    # constraints, restart the penalty schedule from the CURRENT iterate —
+    # merit_increases=0, box=initial_trust_box_size, coeffs=
+    # restart_merit_coeff — up to max_restarts times before declaring
+    # PENALTY_ITERATION_LIMIT.  The escalated iterate is usually near-
+    # feasible; a fresh schedule from it converges where continuing to
+    # escalate (f32 coeff overflow) cannot.
+    max_restarts: int = 0
+    restart_merit_coeff: float = 100.0
     # Wall-clock budget in seconds (BasicTrustRegionSQPParameters::max_time).
     # Enforced per SQP iteration by the host-driven reference solver
     # (sqp/reference_solver.py -> TIME_LIMIT); the jit solver cannot check

@@ -62,6 +62,7 @@ class _State(NamedTuple):
     box_size: jax.Array
     merit_increases: jax.Array
     iter_in_round: jax.Array   # resets each penalty round (optimizers.cpp:737)
+    restarts_used: jax.Array   # second-chance penalty-schedule restarts
     total_iter: jax.Array
     status: jax.Array
     n_qp_solves: jax.Array
@@ -265,6 +266,7 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
             box_size=jnp.asarray(sqp.initial_trust_box_size, dtype),
             merit_increases=jnp.asarray(0, jnp.int32),
             iter_in_round=jnp.asarray(0, jnp.int32),
+            restarts_used=jnp.asarray(0, jnp.int32),
             total_iter=jnp.asarray(0, jnp.int32),
             status=jnp.asarray(SQPStatus.RUNNING, jnp.int32),
             n_qp_solves=jnp.asarray(0, jnp.int32),
@@ -461,6 +463,11 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
             last_round = state.merit_increases + 1 >= sqp.max_merit_coeff_increases
             pen_escalate = conv & (~viols_satisfied)
             pen_exhausted = pen_escalate & last_round
+            # Second-chance restart (SQPParams.max_restarts): a fresh
+            # penalty schedule from the current iterate instead of
+            # terminating with PENALTY_ITERATION_LIMIT.
+            restart = pen_exhausted & (state.restarts_used < sqp.max_restarts)
+            pen_exhausted = pen_exhausted & (~restart)
 
             if sqp.inflate_constraints_individually and n_cnt > 0:
                 inflated = jnp.where(
@@ -471,13 +478,25 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
             else:
                 inflated = state.merit_coeffs * sqp.merit_coeff_increase_ratio
             new_merit_coeffs = jnp.where(pen_escalate, inflated, state.merit_coeffs)
+            new_merit_coeffs = jnp.where(
+                restart, jnp.asarray(sqp.restart_merit_coeff, dtype),
+                new_merit_coeffs)
 
-            # Box reset on penalty escalation (optimizers.cpp:967)
-            box_reset = jnp.maximum(
-                ts.box_size,
-                sqp.min_trust_box_size / sqp.trust_shrink_ratio * 1.5,
-            )
+            # Box reset on penalty escalation (optimizers.cpp:967; or the
+            # full reset to the initial size when box_reset_to_initial —
+            # a collapsed box otherwise pins the next round near the
+            # current iterate, see SQPParams)
+            if sqp.box_reset_to_initial:
+                box_reset = jnp.asarray(sqp.initial_trust_box_size, dtype)
+            else:
+                box_reset = jnp.maximum(
+                    ts.box_size,
+                    sqp.min_trust_box_size / sqp.trust_shrink_ratio * 1.5,
+                )
             new_box = jnp.where(pen_escalate, box_reset, ts.box_size)
+            new_box = jnp.where(
+                restart, jnp.asarray(sqp.initial_trust_box_size, dtype),
+                new_box)
 
             # Iteration limit exits the whole solve (optimizers.cpp:922-934)
             iter_exit = (~conv) & (~qp_failed) & hit_iter_limit
@@ -500,9 +519,11 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 cnt_viols=ts.cnt_viols,
                 merit_coeffs=new_merit_coeffs,
                 box_size=new_box.astype(dtype),
-                merit_increases=state.merit_increases +
-                pen_escalate.astype(jnp.int32),
-                iter_in_round=jnp.where(pen_escalate, 0, iter_next),
+                merit_increases=jnp.where(
+                    restart, 0,
+                    state.merit_increases + pen_escalate.astype(jnp.int32)),
+                iter_in_round=jnp.where(pen_escalate | restart, 0, iter_next),
+                restarts_used=state.restarts_used + restart.astype(jnp.int32),
                 total_iter=state.total_iter + 1,
                 status=status.astype(jnp.int32),
                 n_qp_solves=ts.n_qp_solves,
