@@ -118,10 +118,19 @@ def main():
     inits, goals = pr2ish_table_batch(jax.random.PRNGKey(0), batch, n_steps,
                                       hard_frac=hard_frac)
 
-    # compile + warmup
+    # compile + warmup.  The measured figure depends on the persistent-
+    # cache state: a COLD entry includes XLA compilation AND cache
+    # serialization (~2-6x the pure compile, ROADMAP "Compile time"); a
+    # WARM entry is trace + cache deserialization.  Record which regime
+    # this run was in so cross-round comparisons aren't noise
+    # (VERDICT r4 weak #8).
+    cache_dir = jax.config.jax_compilation_cache_dir
+    had_cache = bool(cache_dir and os.path.isdir(cache_dir)
+                     and os.listdir(cache_dir))
     t0 = time.time()
     res = _run_blocking(fn, inits, goals)
     compile_s = time.time() - t0
+    cache_state = "warm" if had_cache else "cold"
 
     times = []
     for r in range(reps):
@@ -245,10 +254,12 @@ def main():
     }
     if scaling_eff is not None:
         out["scaling_efficiency"] = round(scaling_eff, 3)
+    out["compile_s"] = round(compile_s, 1)
+    out["compile_cache"] = cache_state
     out.update(sec)
     print(json.dumps(out))
     print(f"# batch={batch} reps={reps} best={best:.3f}s "
-          f"compile={compile_s:.1f}s "
+          f"compile={compile_s:.1f}s ({cache_state} persistent cache) "
           f"converged={stats['converged']}/{stats['n']} "
           f"verified={n_verified}/{batch} "
           f"mean_iter={stats['mean_iter']:.1f} "

@@ -43,8 +43,13 @@ def main():
 
     n_steps = 30
     prob, scene = pr2ish_table_problem(n_steps=n_steps)
+    # diverged-lane warm-start repair (MPC_REINIT=0 to disable): fresh
+    # straight-line re-seed stops the monotone convergence decay under
+    # accumulated goal drift
+    reinit = "goal" if os.environ.get("MPC_REINIT", "1") == "1" else None
     step = jax.jit(jax.vmap(
-        make_mpc_step(prob, _solver_params(), structured=True),
+        make_mpc_step(prob, _solver_params(), structured=True,
+                      reinit_goal_key=reinit),
         in_axes=(0, {"goal": 0})))
 
     inits, goals = pr2ish_table_batch(jax.random.PRNGKey(3), batch, n_steps)

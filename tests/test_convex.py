@@ -169,6 +169,45 @@ def test_envelope_gradient_matches_fd():
     assert np.all(np.isfinite(g))
 
 
+def test_envelope_gradient_matches_fd_penetrating():
+    """Gradients of the SAT (penetration) branch: the gather-based
+    envelope recompute must match FD for both translation and rotation
+    of one hull at a generic penetrating configuration."""
+    rng = np.random.default_rng(3)
+    A, Na, Ea = hull_of(rng.normal(size=(30, 3)))
+    B0, Nb, Eb = hull_of(rng.normal(size=(30, 3)))
+
+    def f(t, w):
+        # small rotation via Rodrigues about w
+        th = jnp.sqrt(w @ w + 1e-24)
+        k = w / th
+        K = jnp.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                       [-k[1], k[0], 0]])
+        R = jnp.eye(3) + jnp.sin(th) * K + (1 - jnp.cos(th)) * (K @ K)
+        Bw = jnp.asarray(B0) @ R.T + t
+        naw = jnp.asarray(Nb) @ R.T
+        cx, cxv = edge_cross_axes(
+            jnp.asarray(Ea), jnp.ones(len(Ea), bool),
+            jnp.asarray(Eb) @ R.T, jnp.ones(len(Eb), bool))
+        axes = jnp.concatenate([jnp.asarray(Na), naw, cx])
+        valid = jnp.concatenate(
+            [jnp.ones(len(Na) + len(Nb), bool), cxv])
+        return convex_convex(jnp.asarray(A), 0.0, Bw, 0.0, axes, valid)
+
+    t0 = jnp.asarray([0.61, 0.13, -0.22])   # overlapping placement
+    w0 = jnp.asarray([0.2, -0.1, 0.31])
+    d0 = float(f(t0, w0))
+    assert d0 < 0.0, "configuration must be penetrating"
+    gt, gw = jax.grad(f, argnums=(0, 1))(t0, w0)
+    eps = 1e-6
+    for i in range(3):
+        e = eps * jnp.eye(3)[i]
+        fd_t = (float(f(t0 + e, w0)) - float(f(t0 - e, w0))) / (2 * eps)
+        fd_w = (float(f(t0, w0 + e)) - float(f(t0, w0 - e))) / (2 * eps)
+        np.testing.assert_allclose(float(gt[i]), fd_t, atol=2e-4)
+        np.testing.assert_allclose(float(gw[i]), fd_w, atol=2e-4)
+
+
 def test_scene_convex_discrete_swept_and_jacs():
     """Scene-level paths: distances / distances_and_jac /
     swept_distances(_and_jac) over mixed convex + primitive pairs, FD

@@ -76,3 +76,34 @@ def test_mpc_steps_track_moving_goal():
         assert int(res.status) == SQPStatus.CONVERGED
         traj = np.asarray(traj_j)
         np.testing.assert_allclose(traj[-1], np.asarray(goal_k), atol=1e-3)
+
+
+def test_mpc_diverged_lane_reinit():
+    """reinit_goal_key: a lane whose solve did not converge hands the
+    next cycle a fresh straight-line warm start instead of its diverged
+    iterate (warm-start repair, ROADMAP round-4 decay fix)."""
+    import dataclasses
+
+    from trajopt_tpu.sqp.params import SQPParams
+
+    n = 5
+    prob = TrajOptProblem(n_steps=n, n_dof=2, joint_lower=[-10, -10],
+                          joint_upper=[10, 10], fixed_steps=[0])
+    prob.add_term(joint_vel(n, 2, is_cost=True))
+    prob.add_term(joint_pos(n, 2, is_cost=False, targets="goal",
+                            first_step=n - 1, last_step=n - 1))
+    # max_iter=0 forces SCO_ITERATION_LIMIT... use max_merit tiny instead:
+    # an unreachable goal (outside joint bounds is clipped, so use a
+    # conflicting fixed-step + goal with zero iterations allowed)
+    sqp = dataclasses.replace(SQPParams(), max_iter=1,
+                              min_approx_improve=1e10)  # every solve stalls
+    step = jax.jit(make_mpc_step(prob, sqp, reinit_goal_key="goal"))
+    traj0 = stationary_init(jnp.array([-2.0, 0.0]), n)
+    goal = jnp.array([2.0, 0.5])
+    new_traj, res = step(traj0, {"goal": goal})
+    assert int(res.status) != SQPStatus.CONVERGED
+    # the handed-off plan is the straight line start -> goal, not the
+    # diverged iterate
+    start = np.asarray(traj0)[0]
+    expect = np.linspace(start, np.asarray(goal), n)
+    np.testing.assert_allclose(np.asarray(new_traj), expect, atol=1e-6)

@@ -130,3 +130,37 @@ def test_anderson_acceleration_matches_and_speeds(seed):
     assert bool(acc.converged)
     np.testing.assert_allclose(acc.x, plain.x, atol=1e-6)
     assert int(acc.iters) <= int(plain.iters)
+
+
+def test_rho_dual_scale_beats_dual_starvation():
+    """An escalated penalty row that a hard row prevents satisfying (the
+    SQP's trust-box regime) drives optimal duals to ~c on BOTH rows;
+    fixed-rho ADMM climbs duals at rho*residual/iter and stalls at the
+    midpoint, while the global dual-magnitude rho scale
+    (ADMMConfig.rho_dual_scale) solves it within the same budget
+    (round-5 hard-mix root cause; benchmarks/hard_mix_diag.py)."""
+    import dataclasses
+
+    # min 0.5 x^2 + 1e5*hinge(1 - x)  s.t. x <= 0.5 (hard):
+    # optimum x = 0.5, dual(soft) = -1e5, dual(hard) ~ +1e5.
+    qp = QPData(
+        P=jnp.eye(1), q=jnp.zeros(1),
+        A=jnp.asarray([[1.0], [1.0]]),
+        l=jnp.asarray([1.0, -INF]), u=jnp.asarray([INF, 0.5]),
+        c=jnp.asarray([1e5, INF]),
+    )
+    base = dataclasses.replace(CFG, adaptive_rho=False, max_iter=1000,
+                               check_every=50)
+    starved = solve_qp(qp, jnp.zeros(1), cfg=base)
+    scaled = solve_qp(qp, jnp.zeros(1),
+                      cfg=dataclasses.replace(base, rho_dual_scale=0.1))
+    # fixed-rho stalls between the competing rows; scaled converges
+    assert abs(float(starved.x[0]) - 0.5) > 0.2
+    assert bool(scaled.converged)
+    np.testing.assert_allclose(float(scaled.x[0]), 0.5, atol=1e-4)
+    # and on an easy QP the scale is a no-op (max_c small -> factor 1)
+    easy = random_box_qp(jax.random.PRNGKey(5))
+    r0 = solve_qp(easy, jnp.zeros(12), cfg=CFG)
+    r1 = solve_qp(easy, jnp.zeros(12),
+                  cfg=dataclasses.replace(CFG, rho_dual_scale=0.1))
+    np.testing.assert_allclose(r1.x, r0.x, atol=1e-6)

@@ -201,17 +201,43 @@ def _sat_depth(Va, Vb, axes, valid):
     gap_k = max(min_b - max_a, min_a - max_b) along axis k.  Positive =
     certified separation (a lower bound of true distance), negative =
     no candidate axis separates (depth upper... = penetration estimate).
-    ``valid`` masks padded axis rows."""
-    pa = Va @ axes.T                                   # [A, K]
-    pb = Vb @ axes.T
-    # safe norm: zero-padded axis rows would give 0/0 = NaN in the
-    # backward pass even though masked (NaN * 0 = NaN through where)
-    nrm = jnp.sqrt(jnp.sum(axes * axes, axis=1)
-                   + jnp.asarray(1e-24, axes.dtype))
-    gap = jnp.maximum(pb.min(axis=0) - pa.max(axis=0),
-                      pa.min(axis=0) - pb.max(axis=0)) / nrm
-    gap = jnp.where(valid & (nrm > 1e-9), gap, -jnp.inf)
-    return jnp.max(gap)
+    ``valid`` masks padded axis rows.
+
+    Envelope-form gradients: the argmax axis k* and the witness vertices
+    are found under ``stop_gradient`` (the [A,K]/[B,K] projection matmuls
+    never enter the backward pass — they dominated reverse-mode cost at
+    flagship scale), then the winning gap is RECOMPUTED from the three
+    gathered vectors ``axes[k*]``, ``Va[ia*]``, ``Vb[ib*]`` so gradients
+    flow only through that O(1) expression.  Exact subgradient at the
+    optimum (envelope theorem over the finite axis/vertex max)."""
+    Va_s = jax.lax.stop_gradient(Va)
+    Vb_s = jax.lax.stop_gradient(Vb)
+    axes_s = jax.lax.stop_gradient(axes)
+    pa = Va_s @ axes_s.T                               # [A, K]
+    pb = Vb_s @ axes_s.T
+    nrm_s = jnp.sqrt(jnp.sum(axes_s * axes_s, axis=1)
+                     + jnp.asarray(1e-24, axes_s.dtype))
+    gap_ba = (pb.min(axis=0) - pa.max(axis=0)) / nrm_s  # [K]
+    gap_ab = (pa.min(axis=0) - pb.max(axis=0)) / nrm_s
+    gap = jnp.maximum(gap_ba, gap_ab)
+    gap = jnp.where(valid & (nrm_s > 1e-9), gap, -jnp.inf)
+    k = jnp.argmax(gap)
+    # winner selection as one-hot contractions, not dynamic gathers
+    # (per-pair gathers under the flagship vmap lower to slow TPU
+    # scatter/gather sequences; one-hot matvecs stay on the VPU)
+    oh_k = (jnp.arange(gap.shape[0]) == k).astype(axes.dtype)   # [K]
+    flip = (gap_ab @ oh_k) > (gap_ba @ oh_k)           # a-above-b side won
+    pa_k = pa @ oh_k                                   # [A]
+    pb_k = pb @ oh_k
+    ia = jnp.where(flip, jnp.argmin(pa_k), jnp.argmax(pa_k))
+    ib = jnp.where(flip, jnp.argmax(pb_k), jnp.argmin(pb_k))
+    oh_a = (jnp.arange(pa_k.shape[0]) == ia).astype(axes.dtype)
+    oh_b = (jnp.arange(pb_k.shape[0]) == ib).astype(axes.dtype)
+    # differentiable recompute from the selected winners only
+    u = oh_k @ axes
+    nrm = jnp.sqrt(u @ u + jnp.asarray(1e-24, u.dtype))
+    s = jnp.where(flip, -1.0, 1.0).astype(u.dtype)
+    return s * (u @ (oh_b @ Vb - oh_a @ Va)) / nrm
 
 
 def edge_cross_axes(ea, ea_valid, eb, eb_valid):

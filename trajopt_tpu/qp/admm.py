@@ -87,6 +87,29 @@ class ADMMConfig:
     adaptive_rho_threshold: float = 5.0  # adapt when pri/dual imbalance exceeds
     rho_min: float = 1e-6
     rho_max: float = 1e6
+    # Dual-magnitude-aware GLOBAL rho scaling: when > 0, every row's rho
+    # is multiplied by clip(rho_dual_scale * max_i(finite c_i), 1, .) in
+    # Ruiz-scaled units.  Rationale: at a trust-region QP optimum whose
+    # penalty rows cannot be satisfied inside the box, the optimal duals
+    # reach ~c on the violated rows AND on the box rows opposing them;
+    # ADMM grows duals at ~rho*residual per iteration, so with fixed
+    # rho=0.1 an escalated-penalty QP (c ~ 1e4-1e6) is dual-starved at
+    # any practical iteration cap and every later SQP penalty round is
+    # wasted (round-5 hard-mix root cause, benchmarks/hard_mix_diag.py:
+    # 33/64 -> 63/64 borderline lanes at 4000 iters).  Boosting only the
+    # soft rows fails (the opposing box-row duals starve instead —
+    # tests/test_qp_admm.py); the toy sweep shows global rho in
+    # [1e-3 c, c] converges in 150-2650 iterations vs millions at 0.1.
+    # 0.1 reproduces OSQP's adaptive-rho fixed point on that regime
+    # without per-chunk refactorization (the block path factors once per
+    # SQP step).  The boost only fires once max c exceeds
+    # rho_dual_thresh (scaled units): c upper-bounds the duals but easy
+    # QPs have interior duals ~O(1), where boosting rho slows the primal
+    # (measured: unconditional gs=3.3 on the unescalated flagship cost
+    # 3x headline throughput).  Typical unescalated scaled max c is
+    # ~30-50; the first x10 escalation crosses the threshold.
+    rho_dual_scale: float = 0.0
+    rho_dual_thresh: float = 100.0
     ruiz_iters: int = 10  # OSQP default `scaling` passes
     # Fuse each check_every-iteration chunk into one Pallas VMEM kernel:
     # dense path -> trajopt_tpu/qp/pallas_admm.py (one problem/program);
@@ -203,6 +226,32 @@ def _prox_dist(v: jax.Array, l: jax.Array, u: jax.Array, c_over_rho: jax.Array) 
     return jnp.where(above, z_above, jnp.where(below, z_below, v))
 
 
+def _dual_rho_scale(c: jax.Array, cfg: ADMMConfig) -> jax.Array:
+    """Global dual-magnitude factor gamma >= 1 from the largest finite
+    (Ruiz-scaled) penalty weight — see ADMMConfig.rho_dual_scale."""
+    if cfg.rho_dual_scale <= 0.0:
+        return jnp.ones((), c.dtype)
+    max_c = jnp.max(jnp.where(jnp.isinf(c), 0.0, c))
+    gs = jnp.maximum(1.0, cfg.rho_dual_scale * max_c)
+    return jnp.where(max_c >= cfg.rho_dual_thresh, gs, 1.0)
+
+
+def apply_dual_cost_scale(P, q, c, c_obj, cfg: ADMMConfig):
+    """Fold the dual-magnitude heuristic into the COST normalization:
+    scaling the objective (P, q, penalty weights c) down by gamma is
+    EXACTLY equivalent to boosting every rho by gamma (ADMM iterates map
+    1:1 with duals scaled by 1/gamma; sigma differs by the negligible
+    1e-6 regularizer) — but keeps the rho vectors compile-time constants,
+    which the TPU iteration body needs to stay fused (a traced rho_b
+    measured 4x the body cost at identical trip counts).  OSQP's cost
+    scaling normalizes by the P/q magnitudes only; penalty rows are part
+    of the objective too, so max_c belongs in the denominator once it
+    dominates.  Returns (P, q, c, c_obj) scaled."""
+    gamma = _dual_rho_scale(c, cfg)
+    c = jnp.where(jnp.isinf(c), jnp.inf, c / gamma)
+    return P / gamma, q / gamma, c, c_obj / gamma
+
+
 def _row_rho(qp: QPData, cfg: ADMMConfig, rho_scale: jax.Array) -> jax.Array:
     """Per-row rho: base rho, boosted on hard equality rows (OSQP heuristic)."""
     hard = jnp.isinf(qp.c)
@@ -250,6 +299,10 @@ def solve_qp(
     dtype = qp.P.dtype
     orig = qp
     qp, sc = ruiz_equilibrate(qp, cfg.ruiz_iters)
+    P2, q2, c2, c_obj2 = apply_dual_cost_scale(qp.P, qp.q, qp.c, sc.c_obj,
+                                               cfg)
+    qp = qp._replace(P=P2, q=q2, c=c2)
+    sc = sc._replace(c_obj=c_obj2)
 
     x0 = x0.astype(dtype) / sc.D
     z = qp.A @ x0 if z0 is None else z0.astype(dtype) * sc.E

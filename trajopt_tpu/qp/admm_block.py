@@ -131,11 +131,21 @@ def prepare_qp_block(qp: BlockQP, cfg: ADMMConfig = ADMMConfig(),
     safeguarded Newton-Schulz (batched matmuls, MXU-friendly) instead of
     the latency-bound batched Cholesky.
     """
+    from trajopt_tpu.qp.admm import apply_dual_cost_scale
     from trajopt_tpu.qp.inverse import cholesky_inverse, ns_inverse
 
     dtype = qp.P.dtype
     n = qp.P.shape[0]
     sq, b_diag, sc = _ruiz(qp, cfg.ruiz_iters)
+    # dual-magnitude OBJECTIVE rescale (ADMMConfig.rho_dual_scale):
+    # mathematically identical to boosting every rho by gamma, but keeps
+    # the rho vectors compile-time constants so the TPU iteration body
+    # stays fused (a traced rho_b measured 4x the body cost at identical
+    # trip counts — round-5 micro) — see qp/admm.py apply_dual_cost_scale.
+    P2, q2, c2, c_obj2 = apply_dual_cost_scale(sq.P, sq.q, sq.c, sc.c_obj,
+                                               cfg)
+    sq = sq._replace(P=P2, q=q2, c=c2)
+    sc = sc._replace(c_obj=c_obj2)
 
     hard_c = jnp.isinf(sq.c)
     eq_c = (sq.u - sq.l) < 1e-10
@@ -185,6 +195,12 @@ def solve_qp_block_prepared(prep: PreparedBlockQP, lb, ub, x0,
     sigma = cfg.sigma
     cr_c = jnp.where(jnp.isinf(sq.c), jnp.inf, sq.c / rho_c)
     inf_b = jnp.full((n,), jnp.inf, dtype)
+    # Hoisted reciprocals: per-iteration divisions by TRACED rho vectors
+    # measured 4x the whole body cost on TPU (a constant rho_b
+    # strength-reduces to a multiply; a traced one emits a divide that
+    # breaks the body's VPU fusion) — benchmarks round 5, /tmp/qp_micro3.
+    inv_rho_c = 1.0 / rho_c
+    inv_rho_b = 1.0 / rho_b
 
     def admm_iter(carry):
         x, zc, zb, yc, yb = carry
@@ -196,8 +212,8 @@ def solve_qp_block_prepared(prep: PreparedBlockQP, lb, ub, x0,
         x_new = alpha * xt + (1.0 - alpha) * x
         zrc = alpha * ztc + (1.0 - alpha) * zc
         zrb = alpha * ztb + (1.0 - alpha) * zb
-        zc_new = _prox(zrc + yc / rho_c, sq.l, sq.u, cr_c)
-        zb_new = _prox(zrb + yb / rho_b, sq.lb, sq.ub, inf_b)
+        zc_new = _prox(zrc + yc * inv_rho_c, sq.l, sq.u, cr_c)
+        zb_new = _prox(zrb + yb * inv_rho_b, sq.lb, sq.ub, inf_b)
         yc_new = yc + rho_c * (zrc - zc_new)
         yb_new = yb + rho_b * (zrb - zb_new)
         return (x_new, zc_new, zb_new, yc_new, yb_new)

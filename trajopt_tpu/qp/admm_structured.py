@@ -113,6 +113,15 @@ def solve_qp_structured(qp: StructuredQP, x0, zc0=None, zb0=None,
     m = qp.C.m
     orig_q = qp.q
     sq, b_diag, sc = _ruiz(qp, cfg.ruiz_iters)
+    # dual-magnitude objective rescale (see qp/admm.py
+    # apply_dual_cost_scale) BEFORE the warm-start dual scaling below,
+    # which must use the final c_obj
+    from trajopt_tpu.qp.admm import apply_dual_cost_scale
+
+    P2, q2, c2, c_obj2 = apply_dual_cost_scale(sq.P, sq.q, sq.c, sc.c_obj,
+                                               cfg)
+    sq = sq._replace(P=P2, q=q2, c=c2)
+    sc = sc._replace(c_obj=c_obj2)
 
     x = x0.astype(dtype) / sc.D
     zc = bd.matvec(sq.C, x) if zc0 is None else zc0.astype(dtype) * sc.E_c
@@ -122,7 +131,6 @@ def solve_qp_structured(qp: StructuredQP, x0, zc0=None, zb0=None,
     yb = (jnp.zeros(n, dtype) if yb0 is None
           else yb0.astype(dtype) * (sc.c_obj / sc.E_b))
 
-    # rho: hard-equality boost like the dense path
     hard_c = jnp.isinf(sq.c)
     eq_c = (sq.u - sq.l) < 1e-10
     rho_c = jnp.where(hard_c & eq_c, cfg.rho * cfg.rho_eq_scale, cfg.rho)

@@ -82,6 +82,16 @@ class SQPParams:
     # escalate (f32 coeff overflow) cannot.
     max_restarts: int = 0
     restart_merit_coeff: float = 100.0
+    # Rescale the carried ADMM duals of SATURATED penalty rows (|y| ~ c)
+    # when the merit coefficients change (escalation x10 / restart): at
+    # an L1 optimum the dual of a still-violated row equals its weight c,
+    # so scaling y by the coefficient ratio seeds the next round's QP at
+    # the right dual magnitude.  Off by default: the load-bearing fix for
+    # escalated-penalty dual starvation is ADMMConfig.rho_dual_scale
+    # (without which duals never saturate and this gate never fires), and
+    # with it the rescale is a marginal warm-start tweak that costs ~2
+    # extra QP solves on some small problems.
+    rescale_duals_on_escalation: bool = False
     # Wall-clock budget in seconds (BasicTrustRegionSQPParameters::max_time).
     # Enforced per SQP iteration by the host-driven reference solver
     # (sqp/reference_solver.py -> TIME_LIMIT); the jit solver cannot check

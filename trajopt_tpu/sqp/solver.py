@@ -224,6 +224,27 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
     def merit(cost_vals, cnt_viols, merit_coeffs):
         return jnp.sum(cost_vals) + jnp.sum(merit_coeffs * cnt_viols)
 
+    def escalation_row_ratio(old_coeffs, new_coeffs, dtype):
+        """Per-QP-row (dual rescale factor, old weight) for a merit-
+        coefficient change; ratio is 1.0 on rows whose weight didn't
+        change (unescalated groups, penalty-cost rows, box rows).
+        Matches the carried-y row layout of whichever QP path is
+        active."""
+        if structured:
+            old = _structured_cnt_coeffs(nlp, old_coeffs, dtype)
+            new = _structured_cnt_coeffs(nlp, new_coeffs, dtype)
+            r = jnp.where(old > 0, new / jnp.maximum(old, 1e-30), 1.0)
+            if use_block:
+                r = _bb.to_block(r, _plan, 1.0)
+                old = _bb.to_block(old, _plan, 0.0)
+        else:
+            old = _cnt_row_coeffs(nlp, old_coeffs, dtype)
+            new = _cnt_row_coeffs(nlp, new_coeffs, dtype)
+            r = jnp.where(old > 0, new / jnp.maximum(old, 1e-30), 1.0)
+        pad = m_total - r.shape[0]
+        return (jnp.concatenate([r, jnp.ones((pad,), dtype)]),
+                jnp.concatenate([old, jnp.zeros((pad,), dtype)]))
+
     def _block_prepare(model: ConvexModel, merit_coeffs, x, dtype, minv0=None):
         """Assemble the box-independent block QP and equilibrate + factor it
         once per SQP step (every trust-region QP of the step reuses it)."""
@@ -498,6 +519,20 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 restart, jnp.asarray(sqp.initial_trust_box_size, dtype),
                 new_box)
 
+            # Dual warm-start rescale on coefficient change (see
+            # SQPParams.rescale_duals_on_escalation).  Only SATURATED
+            # rows scale: at an L1 optimum a still-violated row's dual
+            # equals its weight c (scales with c), while an active-but-
+            # satisfied row's dual is interior (does not) — rescaling
+            # those overshoots and measurably degrades truncated QPs.
+            new_y = ts.y
+            if sqp.rescale_duals_on_escalation and n_cnt > 0:
+                ratio, c_old = escalation_row_ratio(state.merit_coeffs,
+                                                    new_merit_coeffs, dtype)
+                saturated = jnp.abs(ts.y) >= 0.9 * c_old
+                ratio = jnp.where(saturated & (c_old > 0), ratio, 1.0)
+                new_y = jnp.where(pen_escalate | restart, ts.y * ratio, ts.y)
+
             # Iteration limit exits the whole solve (optimizers.cpp:922-934)
             iter_exit = (~conv) & (~qp_failed) & hit_iter_limit
 
@@ -529,7 +564,7 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 n_qp_solves=ts.n_qp_solves,
                 n_func_evals=ts.n_func_evals,
                 z=ts.z,
-                y=ts.y,
+                y=new_y,
                 minv=new_minv,
             )
             if stop is None:
