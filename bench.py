@@ -118,6 +118,18 @@ def main():
     inits, goals = pr2ish_table_batch(jax.random.PRNGKey(0), batch, n_steps,
                                       hard_frac=hard_frac)
 
+    # AOT trace cache (BENCH_AOT=0 to disable): a fresh process
+    # deserializes the traced StableHLO program (<1 s) instead of
+    # re-tracing the nested-while solver (~28-49 s); XLA compilation is
+    # then served by the persistent compile cache.  Keyed by source hash
+    # + params + shapes (utils/aot_cache.py).
+    if os.environ.get("BENCH_AOT", "1") == "1":
+        from trajopt_tpu.utils.aot_cache import cached_export
+        fn = cached_export(
+            jax.vmap(lambda i, g: solve(i, {"goal": g})), (inits, goals),
+            key=f"bench-cast:{_solver_params()!r}:structured={structured}",
+            verbose=True)
+
     # compile + warmup.  The measured figure depends on the persistent-
     # cache state: a COLD entry includes XLA compilation AND cache
     # serialization (~2-6x the pure compile, ROADMAP "Compile time"); a
