@@ -69,6 +69,11 @@ def main():
     print(f"# compile+first cycle: {time.time() - t0:.1f}s "
           f"(batch={batch})", flush=True)
 
+    # batched goal-feasibility probe: min pair clearance at the goal
+    # config (a lane whose drifted goal is in collision CANNOT converge
+    # — its failures are workload, not solver)
+    goal_clear = jax.jit(jax.vmap(lambda g: jnp.min(scene.distances(g))))
+
     rates = []
     for k in range(cycles):
         goals_k = goals + k * drift   # goals drift each control cycle
@@ -79,9 +84,14 @@ def main():
         dt = time.time() - t0
         conv = int((st == 1).sum())
         rates.append(conv / dt)
+        bad = st != 1
+        n_infeas = int((np.asarray(goal_clear(goals_k)) <= 0.0)[bad].sum()) \
+            if bad.any() else 0
         print(f"# cycle {k}: {conv}/{batch} converged, {dt:.3f}s, "
               f"{conv / dt:.0f} re-solves/s, "
-              f"mean_iter {np.asarray(res.n_iter).mean():.1f}", flush=True)
+              f"mean_iter {np.asarray(res.n_iter).mean():.1f}, "
+              f"{n_infeas}/{int(bad.sum())} failures have in-collision "
+              f"goals", flush=True)
 
     import json
     print(json.dumps({
