@@ -111,7 +111,15 @@ def main():
     # would misprice the easy lanes' throughput (VERDICT r3 weak #5).
     hard_frac = float(os.environ.get("BENCH_HARD_FRAC", "0"))
 
-    prob, scene = pr2ish_table_problem(n_steps=n_steps)
+    # LVS sub-segmentation of each gap for the cast narrowphase
+    # (convexify cost is proportional; the independent swept verification
+    # below checks safety regardless of the solver's granularity).
+    # Round-5 sweep at B=256: lvs=3 836/s, lvs=2 1014.9/s (256/256
+    # converged+verified, hard-mix unchanged), lvs=1 953.7/s (coarser
+    # linearization costs SQP iterations: easy lanes reach 3-4, hard max
+    # 26) — 2 is the sweet spot.
+    lvs = int(os.environ.get("BENCH_LVS", "2"))
+    prob, scene = pr2ish_table_problem(n_steps=n_steps, lvs_substeps=lvs)
     solve = prob.make_solve(_solver_params(), structured=structured)
     fn = jax.jit(jax.vmap(lambda i, g: solve(i, {"goal": g})))
 
@@ -125,9 +133,13 @@ def main():
     # + params + shapes (utils/aot_cache.py).
     if os.environ.get("BENCH_AOT", "1") == "1":
         from trajopt_tpu.utils.aot_cache import cached_export
+        # the key must capture EVERYTHING that parameterizes the traced
+        # program beyond input shapes (the artifact would otherwise be
+        # silently reused across workload variants)
         fn = cached_export(
             jax.vmap(lambda i, g: solve(i, {"goal": g})), (inits, goals),
-            key=f"bench-cast:{_solver_params()!r}:structured={structured}",
+            key=(f"bench-cast:{_solver_params()!r}:structured={structured}"
+                 f":lvs={lvs}:n_steps={n_steps}"),
             verbose=True)
 
     # compile + warmup.  The measured figure depends on the persistent-

@@ -155,7 +155,9 @@ def main():
     n_steps = 30
     sub_len = 0.025   # half the verify LVS granularity
 
-    prob, scene = pr2ish_table_problem(n_steps=n_steps)
+    prob, scene = pr2ish_table_problem(
+        n_steps=n_steps,
+        lvs_substeps=int(os.environ.get("BENCH_LVS", "2")))
     tree = scene.tree
     solve = prob.make_solve(_solver_params(), structured=True)
     fn = jax.jit(jax.vmap(lambda i, g: solve(i, {"goal": g})))

@@ -42,7 +42,8 @@ def main():
     from __graft_entry__ import _solver_params
 
     n_steps = 30
-    prob, scene = pr2ish_table_problem(n_steps=n_steps)
+    prob, scene = pr2ish_table_problem(
+        n_steps=n_steps, lvs_substeps=int(os.environ.get("BENCH_LVS", "2")))
     # diverged-lane warm-start repair (MPC_REINIT=0 to disable): fresh
     # straight-line re-seed stops the monotone convergence decay under
     # accumulated goal drift
