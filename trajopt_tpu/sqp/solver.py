@@ -270,7 +270,11 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
         if structured and use_block and sqp.qp.ns_refresh:
             # Seed the carried KKT inverse with one Cholesky factorization
             # at the initial convexification; every later SQP step refreshes
-            # it by Newton-Schulz (qp/inverse.py).
+            # it by Newton-Schulz (qp/inverse.py).  (Round-5 negative
+            # result: seeding with the identity instead — saving this
+            # init prepare — costs MORE net: the first step's inexact NS
+            # inverse degrades its QP and the hard-mix line pays 24%,
+            # headline ~9%.)
             model0 = nlp_mod.convexify_structured(nlp, x0, params, jac_cache0)
             minv_init = _block_prepare(
                 model0, jnp.full((n_cnt,), sqp.initial_merit_error_coeff,
