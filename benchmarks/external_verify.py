@@ -233,7 +233,9 @@ def main():
                   f"uncertified configs, escalated first 200",
                   file=sys.stderr)
     print(f"# certificates: {time.time() - t0:.1f}s, {n_escal} exact "
-          f"escalations", file=sys.stderr)
+          f"escalations"
+          + (f", max exact penetration {escal_max_pen:.5f}"
+             if escal_max_pen > 0 else ""), file=sys.stderr)
 
     lane_min = pair_min.min(axis=0).reshape(B, -1).min(axis=1)
     n_free = int((lane_min > 0.0).sum())
