@@ -128,3 +128,29 @@ def test_repeat_call_bitwise_deterministic():
     r1 = solve(init, {})
     r2 = solve(init, {})
     np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_rescale_duals_on_escalation_preserves_results():
+    """The saturated-dual rescale (opt-in) must not change what a solve
+    converges to on problems with penalty escalation; it only re-seeds
+    ADMM warm starts."""
+    import dataclasses
+
+    from trajopt_tpu.sqp.params import SQPParams
+
+    # needs escalation: strong-ish cost vs a constraint, feasible
+    nlp = Nlp(n=2, term_sets=(
+        TermSet("pull", Kind.COST_SQ, lambda x, p: 3.0 * x, 2),
+        TermSet("sum", Kind.CNT_EQ,
+                lambda x, p: jnp.atleast_1d(x[0] + x[1] - 2.0), 1),
+    ))
+    base = dataclasses.replace(SQPParams(), initial_merit_error_coeff=0.1)
+    r0 = make_solver(nlp, sqp=base)(
+        jnp.zeros(2), jnp.full(2, -INF), jnp.full(2, INF), {})
+    r1 = make_solver(nlp, sqp=dataclasses.replace(
+        base, rescale_duals_on_escalation=True))(
+        jnp.zeros(2), jnp.full(2, -INF), jnp.full(2, INF), {})
+    assert int(r0.status) == SQPStatus.CONVERGED
+    assert int(r1.status) == SQPStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               atol=1e-6)
