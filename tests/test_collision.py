@@ -269,3 +269,18 @@ def test_structured_jacobian_matches_full_autodiff():
         J_struct = term.jac_fn(x, {})
         np.testing.assert_allclose(J_struct, J_full, atol=1e-9,
                                    err_msg=term.name)
+
+
+def test_boxbox_scene_first_use_under_tracing():
+    """The box-box kernel-selection decision (_boxbox_aligned) computes a
+    zero-config FK; a FRESH scene whose first distances() call happens
+    inside a trace (jax.eval_shape during TrajOptProblem term validation)
+    must not leak tracers into that static decision (regression: round-5
+    TracerArrayConversionError via np.asarray on staged FK)."""
+    s = boxbot_scene()  # fresh; no eager call primes the caches
+    shape = jax.eval_shape(lambda q: s.distances(q), V([0.0, 0.0]))
+    assert shape.shape == (s.n_pairs,)
+    # and the result after tracing matches an eagerly-primed scene
+    d_traced = jax.jit(s.distances)(V([3.0, 0.0]))
+    d_eager = boxbot_scene().distances(V([3.0, 0.0]))
+    np.testing.assert_allclose(d_traced, d_eager, atol=1e-12)

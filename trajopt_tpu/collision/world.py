@@ -444,8 +444,14 @@ class CollisionScene:
         if g.link is None:
             return np.asarray(g.R_local, float)
         if getattr(self, "_fk0_cache", None) is None:
-            R0, _ = self.tree.fk(jnp.zeros(self.tree.n_dof))
-            self._fk0_cache = np.asarray(R0, float)
+            # This is a trace-time STATIC decision (which box-box kernel
+            # to group a pair under); compute the zero-config FK outside
+            # any enclosing trace — under omnistaging a first call inside
+            # e.g. jax.eval_shape would otherwise stage these ops and
+            # make np.asarray throw TracerArrayConversionError.
+            with jax.ensure_compile_time_eval():
+                R0, _ = self.tree.fk(jnp.zeros(self.tree.n_dof))
+                self._fk0_cache = np.asarray(R0, float)
         return (self._fk0_cache[self.tree.link_id(g.link)]
                 @ np.asarray(g.R_local, float))
 
