@@ -234,9 +234,21 @@ def main():
     if os.environ.get("BENCH_HARD", "1") == "1":
         i_h, g_h = pr2ish_table_batch(jax.random.PRNGKey(7), batch, n_steps,
                                       hard_frac=0.25)
-        _run_blocking(fn, i_h, g_h)  # warmup (cached program, new shapes=no)
+        fn_h = fn
+        if os.environ.get("BENCH_RESTART_FAMILY", "0") == "1":
+            # Opt-in multi-start restart family for the hard-mix line
+            # (detour rows via the easy goal; solver.py multi-start
+            # restart).  Needs BENCH_RESTARTS>=2 so restart 0 stays in
+            # place; compiles a SECOND program (params pytree gains the
+            # family), which is why it is not the default.
+            from trajopt_tpu.models.benchmarks import pr2ish_restart_family
+            fam_h = pr2ish_restart_family(g_h, n_steps)
+            fam_solve = jax.vmap(
+                lambda i, g, r: solve(i, {"goal": g, "restart_inits": r}))
+            fn_h = jax.jit(lambda i, g: fam_solve(i, g, fam_h))
+        _run_blocking(fn_h, i_h, g_h)  # warmup (cached program, new shapes=no)
         t0 = time.time()
-        res_h = _run_blocking(fn, i_h, g_h)
+        res_h = _run_blocking(fn_h, i_h, g_h)
         t_h = time.time() - t0
         traj_h = np.asarray(res_h.x).reshape(batch, n_steps, 8)
         mins_h = _swept_verify(scene, traj_h, 8)

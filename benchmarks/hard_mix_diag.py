@@ -67,12 +67,22 @@ def main():
 
     prob, scene = pr2ish_table_problem(n_steps=n_steps)
     solve = prob.make_solve(sqp, structured=True)
-    fn = jax.jit(jax.vmap(lambda i, g: solve(i, {"goal": g})))
 
     # 100% borderline lanes (the bench's hard 25% fills the first quarter;
     # here every lane is hard so the failure set is dense).
     inits, goals = pr2ish_table_batch(jax.random.PRNGKey(7), batch, n_steps,
                                       hard_frac=1.0)
+    if os.environ.get("DIAG_RESTART_FAMILY"):
+        # Multi-start restart family (home -> easy goal -> hard goal
+        # detour rows); needs max_restarts >= 2 to keep the in-place
+        # first restart (DIAG_RESTARTS=2).
+        from trajopt_tpu.models.benchmarks import pr2ish_restart_family
+        fam = pr2ish_restart_family(goals, n_steps)
+        base_fn = jax.jit(jax.vmap(
+            lambda i, g, r: solve(i, {"goal": g, "restart_inits": r})))
+        fn = lambda i, g: base_fn(i, g, fam)  # noqa: E731
+    else:
+        fn = jax.jit(jax.vmap(lambda i, g: solve(i, {"goal": g})))
     t0 = time.time()
     res = fn(inits, goals)
     jax.block_until_ready(res)

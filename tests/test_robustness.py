@@ -154,3 +154,67 @@ def test_rescale_duals_on_escalation_preserves_results():
     assert int(r1.status) == SQPStatus.CONVERGED
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
                                atol=1e-6)
+
+
+def test_multistart_restart_escapes_zero_gradient_trap():
+    """params["restart_inits"]: a lane stuck at a zero-gradient point of
+    its constraint (1 - x^2 <= 0 at x = 0: every linearization is the
+    unimprovable constant row 1 <= 0) exhausts penalty escalations in
+    place, and an IN-PLACE restart cannot help — but a restart re-seeded
+    from the caller's family row x = 0.5 sees a live gradient and
+    converges to the feasible set |x| >= 1 (round-5 multi-start knob for
+    the residual hard-mix local minima)."""
+    import dataclasses
+
+    from trajopt_tpu.sqp.params import SQPParams
+
+    nlp = Nlp(n=1, term_sets=(
+        TermSet("center", Kind.COST_SQ, lambda x, p: 0.1 * x, 1),
+        TermSet("ring", Kind.CNT_INEQ, lambda x, p: 1.0 - x * x, 1),
+    ))
+    lo, hi = jnp.full(1, -INF), jnp.full(1, INF)
+
+    base = SQPParams()
+    res = make_solver(nlp, sqp=base)(jnp.zeros(1), lo, hi, {})
+    assert int(res.status) == SQPStatus.PENALTY_ITERATION_LIMIT
+
+    # In-place restart: still trapped (control for the family's effect).
+    inplace = dataclasses.replace(base, max_restarts=1)
+    res_ip = make_solver(nlp, sqp=inplace)(jnp.zeros(1), lo, hi, {})
+    assert int(res_ip.status) == SQPStatus.PENALTY_ITERATION_LIMIT
+
+    # Family-seeded restart: escapes and satisfies the constraint.
+    res_ms = make_solver(nlp, sqp=inplace)(
+        jnp.zeros(1), lo, hi,
+        {"restart_inits": jnp.array([[0.5]])})
+    assert int(res_ms.status) == SQPStatus.CONVERGED
+    assert abs(float(res_ms.x[0])) >= 1.0 - 1e-3
+
+    # Presence of the key must not disturb a lane that never restarts.
+    easy = make_solver(nlp, sqp=inplace)(
+        jnp.full(1, 2.0), lo, hi,
+        {"restart_inits": jnp.array([[0.5]])})
+    easy_ref = make_solver(nlp, sqp=inplace)(jnp.full(1, 2.0), lo, hi, {})
+    assert int(easy.status) == SQPStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(easy.x), np.asarray(easy_ref.x),
+                               atol=1e-12)
+
+
+def test_multistart_restart_last_rows_rule():
+    """With max_restarts=2 and a 1-row family, restart 0 is in place and
+    restart 1 consumes the family row (the LAST R restarts re-seed)."""
+    import dataclasses
+
+    from trajopt_tpu.sqp.params import SQPParams
+
+    nlp = Nlp(n=1, term_sets=(
+        TermSet("center", Kind.COST_SQ, lambda x, p: 0.1 * x, 1),
+        TermSet("ring", Kind.CNT_INEQ, lambda x, p: 1.0 - x * x, 1),
+    ))
+    lo, hi = jnp.full(1, -INF), jnp.full(1, INF)
+    sqp = dataclasses.replace(SQPParams(), max_restarts=2)
+    res = make_solver(nlp, sqp=sqp)(
+        jnp.zeros(1), lo, hi, {"restart_inits": jnp.array([[-0.5]])})
+    # second restart seeds x=-0.5 -> converges to the nearer ring point -1
+    assert int(res.status) == SQPStatus.CONVERGED
+    np.testing.assert_allclose(float(res.x[0]), -1.0, atol=1e-3)

@@ -162,6 +162,35 @@ def pr2ish_table_batch(key, batch: int, n_steps: int = 30,
     return inits, goals
 
 
+def pr2ish_restart_family(goals, n_steps: int = 30, dtype=jnp.float32):
+    """Multi-start restart family for the pr2ish workloads: one
+    alternative init per lane, routed home -> PR2ISH_GOAL -> goal.
+
+    PR2ISH_GOAL (the easy goal mode: wrist over the table front) is
+    straight-line reachable from home (256/256 headline lanes), and the
+    borderline-hard goals sit high above the slab, so the second leg
+    approaches them from over the table instead of sweeping the forearm
+    through the table edge — the detour the residual hard-mix local
+    minima need (ROADMAP "Hard-mix convergence": in-place restarts
+    converge in place with the goal violation persisting).
+
+    Returns ``[B, 1, n_steps, 8]``; pass per-lane rows as
+    ``params["restart_inits"]`` with ``SQPParams.max_restarts >= 2`` —
+    the LAST family-sized block of restarts consumes the rows, restart 0
+    stays in place (solver.py multi-start restart)."""
+    goals = jnp.asarray(goals, dtype)
+    home = jnp.asarray(PR2ISH_HOME, dtype)
+    via = jnp.asarray(PR2ISH_GOAL, dtype)
+    h = n_steps // 2
+
+    def one(g):
+        a = interpolated_init(home, via, h + 1)
+        b = interpolated_init(via, g, n_steps - h)
+        return jnp.concatenate([a, b[1:]], axis=0)
+
+    return jax.vmap(one)(goals)[:, None]
+
+
 def simple_collision_problem() -> tuple[TrajOptProblem, CollisionScene]:
     """Spherebot simple-collision scene (simple_collision_test.json): one
     step pulled into the obstacle by a joint_pos cost, pushed out by

@@ -80,6 +80,13 @@ class SQPParams:
     # PENALTY_ITERATION_LIMIT.  The escalated iterate is usually near-
     # feasible; a fresh schedule from it converges where continuing to
     # escalate (f32 coeff overflow) cannot.
+    #
+    # Multi-start variant: when params["restart_inits"] carries R
+    # alternative trajectories ([R, n] after reshape), the LAST R
+    # restarts re-seed x from those rows (fresh duals + exact evals)
+    # instead of restarting in place — the escape hatch for init-family
+    # local minima that in-place restarts re-converge into (solver.py;
+    # tests/test_robustness.py multistart tests).
     max_restarts: int = 0
     restart_merit_coeff: float = 100.0
     # Rescale the carried ADMM duals of SATURATED penalty rows (|y| ~ c)

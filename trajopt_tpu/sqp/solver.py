@@ -266,6 +266,19 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
         # getClosestFeasiblePoint (modeling.cpp:260): box-only projection.
         x0 = jnp.clip(x0, lb, ub)
 
+        # Multi-start restart family (opt-in): params["restart_inits"]
+        # carries R alternative trajectories [R, n] (any leading shape
+        # reshapes to [R, n]).  The LAST R second-chance restarts re-seed
+        # x from this family instead of restarting the penalty schedule
+        # in place — in-place restarts cannot escape goal-violating
+        # local minima of the init family (ROADMAP "Hard-mix
+        # convergence": the 2 residual borderline lanes).  Presence of
+        # the key is a trace-time decision; absent -> zero overhead.
+        r_inits = None
+        if isinstance(params, dict) and params.get("restart_inits") is not None:
+            r_inits = jnp.reshape(
+                jnp.asarray(params["restart_inits"], dtype), (-1, n))
+
         jac_cache0 = nlp_mod.linear_jacobians(nlp, n, params, dtype)
         if structured and use_block and sqp.qp.ns_refresh:
             # Seed the carried KKT inverse with one Cholesky factorization
@@ -537,6 +550,34 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 ratio = jnp.where(saturated & (c_old > 0), ratio, 1.0)
                 new_y = jnp.where(pen_escalate | restart, ts.y * ratio, ts.y)
 
+            # Multi-start restart: the last R restarts re-seed x from the
+            # caller's family (see solve() above).  Earlier restarts stay
+            # in place (cheap; recovers dual-starved lanes without
+            # discarding progress).  A re-seeded lane gets fresh duals
+            # and exact evals at the new iterate; the carried KKT inverse
+            # is refreshed by the next step's Newton-Schulz prepare.
+            new_x = ts.x
+            new_cost_vals = ts.cost_vals
+            new_cnt_viols = ts.cnt_viols
+            new_z = ts.z
+            n_fev = ts.n_func_evals
+            if r_inits is not None:
+                n_family = r_inits.shape[0]
+                j0 = max(0, sqp.max_restarts - n_family)
+                use_alt = restart & (state.restarts_used >= j0)
+                k = jnp.clip(state.restarts_used - j0, 0, n_family - 1)
+                alt = jnp.clip(r_inits[k], lb, ub)
+                new_x = jnp.where(use_alt, alt, ts.x)
+                new_cost_vals = jnp.where(
+                    use_alt, nlp_mod.eval_exact_costs(nlp, new_x, params),
+                    ts.cost_vals)
+                new_cnt_viols = jnp.where(
+                    use_alt, nlp_mod.eval_exact_cnt_viols(nlp, new_x, params),
+                    ts.cnt_viols)
+                new_z = jnp.where(use_alt, jnp.zeros_like(ts.z), ts.z)
+                new_y = jnp.where(use_alt, jnp.zeros_like(new_y), new_y)
+                n_fev = n_fev + use_alt.astype(jnp.int32)
+
             # Iteration limit exits the whole solve (optimizers.cpp:922-934)
             iter_exit = (~conv) & (~qp_failed) & hit_iter_limit
 
@@ -553,9 +594,9 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
             )
 
             new_state = _State(
-                x=ts.x,
-                cost_vals=ts.cost_vals,
-                cnt_viols=ts.cnt_viols,
+                x=new_x,
+                cost_vals=new_cost_vals,
+                cnt_viols=new_cnt_viols,
                 merit_coeffs=new_merit_coeffs,
                 box_size=new_box.astype(dtype),
                 merit_increases=jnp.where(
@@ -566,8 +607,8 @@ def make_solver(nlp: Nlp, params_spec: Any = None, sqp: SQPParams = SQPParams(),
                 total_iter=state.total_iter + 1,
                 status=status.astype(jnp.int32),
                 n_qp_solves=ts.n_qp_solves,
-                n_func_evals=ts.n_func_evals,
-                z=ts.z,
+                n_func_evals=n_fev,
+                z=new_z,
                 y=new_y,
                 minv=new_minv,
             )
