@@ -77,7 +77,9 @@ def main():
         # detour rows); needs max_restarts >= 2 to keep the in-place
         # first restart (DIAG_RESTARTS=2).
         from trajopt_tpu.models.benchmarks import pr2ish_restart_family
-        fam = pr2ish_restart_family(goals, n_steps)
+        fam = pr2ish_restart_family(
+            goals, n_steps,
+            rows=int(os.environ.get("DIAG_FAMILY_ROWS", "1")))
         base_fn = jax.jit(jax.vmap(
             lambda i, g, r: solve(i, {"goal": g, "restart_inits": r})))
         fn = lambda i, g: base_fn(i, g, fam)  # noqa: E731

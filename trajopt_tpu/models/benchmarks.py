@@ -162,7 +162,8 @@ def pr2ish_table_batch(key, batch: int, n_steps: int = 30,
     return inits, goals
 
 
-def pr2ish_restart_family(goals, n_steps: int = 30, dtype=jnp.float32):
+def pr2ish_restart_family(goals, n_steps: int = 30, dtype=jnp.float32,
+                          rows: int = 1):
     """Multi-start restart family for the pr2ish workloads: one
     alternative init per lane, routed home -> PR2ISH_GOAL -> goal.
 
@@ -174,21 +175,31 @@ def pr2ish_restart_family(goals, n_steps: int = 30, dtype=jnp.float32):
     minima need (ROADMAP "Hard-mix convergence": in-place restarts
     converge in place with the goal violation persisting).
 
-    Returns ``[B, 1, n_steps, 8]``; pass per-lane rows as
-    ``params["restart_inits"]`` with ``SQPParams.max_restarts >= 2`` —
-    the LAST family-sized block of restarts consumes the rows, restart 0
-    stays in place (solver.py multi-start restart)."""
+    ``rows=2`` adds a second, qualitatively different detour routed
+    through a torso-raised arm-up via (min scene clearance 0.185 vs the
+    easy goal's 0.081) for lanes whose local minimum sits near the
+    easy-goal route.
+
+    Returns ``[B, rows, n_steps, 8]``; pass per-lane rows as
+    ``params["restart_inits"]`` with ``SQPParams.max_restarts >= rows+1``
+    — the LAST family-sized block of restarts consumes the rows, restart
+    0 stays in place (solver.py multi-start restart)."""
     goals = jnp.asarray(goals, dtype)
     home = jnp.asarray(PR2ISH_HOME, dtype)
-    via = jnp.asarray(PR2ISH_GOAL, dtype)
     h = n_steps // 2
+    vias = [jnp.asarray(PR2ISH_GOAL, dtype),
+            jnp.asarray([0.30, -0.3, -0.4, -0.5, -0.9, 0.0, -1.0, 0.0],
+                        dtype)][:rows]
 
     def one(g):
-        a = interpolated_init(home, via, h + 1)
-        b = interpolated_init(via, g, n_steps - h)
-        return jnp.concatenate([a, b[1:]], axis=0)
+        out = []
+        for via in vias:
+            a = interpolated_init(home, via, h + 1)
+            b = interpolated_init(via, g, n_steps - h)
+            out.append(jnp.concatenate([a, b[1:]], axis=0))
+        return jnp.stack(out)
 
-    return jax.vmap(one)(goals)[:, None]
+    return jax.vmap(one)(goals)
 
 
 def simple_collision_problem() -> tuple[TrajOptProblem, CollisionScene]:
