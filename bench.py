@@ -242,7 +242,9 @@ def main():
             # place; compiles a SECOND program (params pytree gains the
             # family), which is why it is not the default.
             from trajopt_tpu.models.benchmarks import pr2ish_restart_family
-            fam_h = pr2ish_restart_family(g_h, n_steps)
+            fam_h = pr2ish_restart_family(
+                g_h, n_steps,
+                rows=int(os.environ.get("BENCH_FAMILY_ROWS", "1")))
             fam_solve = jax.vmap(
                 lambda i, g, r: solve(i, {"goal": g, "restart_inits": r}))
             fn_h = jax.jit(lambda i, g: fam_solve(i, g, fam_h))
